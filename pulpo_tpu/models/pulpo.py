@@ -1,0 +1,264 @@
+"""The PULPo hierarchical probabilistic registration network (flax linen).
+
+Architecture mirrors the reference (src/components/pulpo.py):
+
+- DownPath: shared conv encoder over concat(moving, fixed); per global
+  level k: ConvSequence(depth=3) then ceil-mode AvgPool/2 (pulpo.py:9-62).
+- Autoencoder: hierarchical VAE decoded coarse->fine. At each latent
+  level an encoder head produces (mu, sigma), a sample is drawn, and an
+  SVF decoder turns it into a velocity field that is composed with the
+  upscaled parent field, integrated (scaling & squaring) and used to warp
+  the moving-image pyramid (pulpo.py:65-215).
+- PULPoEncoder: optional feedback concat + merge ConvSequence + MuSigma
+  (pulpo.py:219-263).
+- SVFDecoder: VelocityField -> combine (x2 upscale + add) -> VecInt ->
+  resize to output -> warp (pulpo.py:265-319).
+- Prior: standard normal, shaped like the posterior (pulpo.py:323-340).
+
+Outputs are dicts keyed by latent level (valid jax pytrees). The K-level
+loop is unrolled in Python: levels have different static shapes, which is
+exactly what XLA wants (one fused graph, no dynamic shapes).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pulpo_tpu.config import PULPoConfig
+from pulpo_tpu.models.blocks import ConvSequence, MuSigmaBlock, VelocityField
+from pulpo_tpu.ops.resize import avg_pool_ceil, resize_linear
+from pulpo_tpu.ops.warp import integrate_svf, resize_vecfield, warp_image
+
+LevelDict = dict[int, jnp.ndarray]
+
+
+class DownPath(nn.Module):
+    """Shared conv encoder over concat(moving, fixed) (pulpo.py:9-62)."""
+
+    cfg: PULPoConfig
+    dtype: Any = None
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray, train: bool = True) -> LevelDict:
+        cfg = self.cfg
+        h = jnp.concatenate([x, y], axis=-1)
+        acts: LevelDict = {}
+        for k in range(cfg.total_levels):
+            if k > 0:
+                h = avg_pool_ceil(h)
+            h = ConvSequence(
+                cfg.num_channels[k], depth=3, dtype=self.dtype,
+                bn_axis_name=self.bn_axis_name, name=f"down_block_{k}",
+            )(h, train)
+            acts[k] = h
+        return acts
+
+
+class PULPoEncoder(nn.Module):
+    """Posterior head for one latent level (pulpo.py:219-263)."""
+
+    cfg: PULPoConfig
+    level: int
+    dtype: Any = None
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, down_activation, feedback=None, train: bool = True):
+        cfg = self.cfg
+        num_channels = cfg.num_channels[cfg.lk_offset + self.level]
+        h = down_activation
+        if feedback is not None:
+            h = jnp.concatenate([feedback, down_activation], axis=-1)
+            h = ConvSequence(
+                num_channels, depth=2, dtype=self.dtype,
+                bn_axis_name=self.bn_axis_name, name="sample_merge_block",
+            )(h, train)
+        mu, sigma = MuSigmaBlock(cfg.zdim, dtype=self.dtype, name="mu_sigma")(h)
+        return mu, sigma
+
+
+class SVFDecoder(nn.Module):
+    """SVF decoder for one latent level (pulpo.py:265-319)."""
+
+    cfg: PULPoConfig
+    level: int
+    dtype: Any = None
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, z, input_image, combined_df=None, train: bool = True):
+        cfg = self.cfg
+        l = self.level
+        insize = cfg.level_sizes[l]
+        outsize = cfg.df_size(l)
+
+        individual_df = VelocityField(
+            ndims=cfg.ndims, max_channels=cfg.n0, depth=cfg.cp_depth,
+            dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="velocity_field",
+        )(z, train)
+
+        if combined_df is None:  # coarsest level
+            combined = individual_df
+        else:
+            parent = resize_vecfield(combined_df, vel_resize=0.5, out_size=insize)
+            combined = parent + individual_df
+
+        # integration happens in f32 regardless of compute dtype: the
+        # 7-step self-warp compounds rounding error
+        integrated = integrate_svf(combined.astype(jnp.float32), nsteps=cfg.nsteps)
+
+        vel_resize_output = 1.0 / (outsize[0] / insize[0])
+        final_df = resize_vecfield(integrated, vel_resize_output, out_size=outsize)
+
+        transformed = warp_image(input_image.astype(jnp.float32), final_df)
+        return individual_df, individual_df, combined, final_df, transformed
+
+
+class Autoencoder(nn.Module):
+    """Hierarchical VAE body (pulpo.py:65-215)."""
+
+    cfg: PULPoConfig
+    dtype: Any = None
+    bn_axis_name: str | None = None
+
+    def setup(self):
+        cfg = self.cfg
+        self.encoders = {
+            str(l): PULPoEncoder(cfg, l, self.dtype, self.bn_axis_name, name=f"encoder_{l}")
+            for l in range(cfg.latent_levels)
+        }
+        self.decoders = {
+            str(l): SVFDecoder(cfg, l, self.dtype, self.bn_axis_name, name=f"decoder_{l}")
+            for l in range(cfg.latent_levels)
+        }
+        # feedback merge blocks exist for global levels lk_offset..total-2,
+        # i.e. latent levels 0..K-2 (pulpo.py:118-125)
+        self.up_blocks = {
+            str(l): ConvSequence(
+                cfg.n0 * cfg.zdim, depth=2, dtype=self.dtype,
+                bn_axis_name=self.bn_axis_name, name=f"up_block_{l + cfg.lk_offset}",
+            )
+            for l in range(cfg.latent_levels - 1)
+        }
+
+    def _level_x_pyramid(self, x: jnp.ndarray) -> LevelDict:
+        """Moving-image pyramid; level 0 stays original resolution
+        (pulpo.py:167-179)."""
+        cfg = self.cfg
+        if cfg.df_resolution == "full_res":
+            return {l: x for l in range(cfg.latent_levels)}
+        level_x: LevelDict = {}
+        h = x
+        for _ in range(cfg.lk_offset):
+            h = avg_pool_ceil(h)
+        prev = h
+        for l in range(1, cfg.latent_levels):
+            prev = avg_pool_ceil(prev)
+            level_x[l] = prev
+        level_x[0] = x
+        return level_x
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        down_activations: LevelDict,
+        deterministic: bool = False,
+        train: bool = True,
+    ) -> tuple[LevelDict, ...]:
+        cfg = self.cfg
+        level_x = self._level_x_pyramid(x)
+
+        mus: LevelDict = {}
+        sigmas: LevelDict = {}
+        samples: LevelDict = {}
+        velocity_fields: LevelDict = {}
+        individual_dfs: LevelDict = {}
+        combined_dfs: LevelDict = {}
+        final_dfs: LevelDict = {}
+        transformed: LevelDict = {}
+
+        tensors = {
+            "samples": samples,
+            "velocity_fields": velocity_fields,
+            "individual_dfs": individual_dfs,
+            "combined_dfs": combined_dfs,
+            "final_dfs": final_dfs,
+            "transformed": transformed,
+        }
+
+        for l in reversed(range(cfg.latent_levels)):
+            k = l + cfg.lk_offset
+            if l == cfg.latent_levels - 1:
+                mus[l], sigmas[l] = self.encoders[str(l)](down_activations[k], train=train)
+                parent_combined = None
+            else:
+                down_size = down_activations[k].shape[1:-1]
+                fb = [
+                    resize_linear(tensors[item][l + 1], down_size)
+                    for item in cfg.feedback
+                ]
+                fb = jnp.concatenate(fb, axis=-1)
+                fb = self.up_blocks[str(l)](fb, train=train)
+                mus[l], sigmas[l] = self.encoders[str(l)](
+                    down_activations[k], feedback=fb, train=train
+                )
+                parent_combined = combined_dfs[l + 1]
+
+            if deterministic:
+                samples[l] = mus[l]
+                z = mus[l]
+            else:
+                eps = jax.random.normal(
+                    self.make_rng("sample"), mus[l].shape, jnp.float32
+                ).astype(mus[l].dtype)
+                samples[l] = mus[l] + sigmas[l] * eps
+                z = samples[l]
+
+            (
+                velocity_fields[l],
+                individual_dfs[l],
+                combined_dfs[l],
+                final_dfs[l],
+                transformed[l],
+            ) = self.decoders[str(l)](z, level_x[l], parent_combined, train=train)
+
+        return (
+            mus, sigmas, samples, velocity_fields,
+            individual_dfs, combined_dfs, final_dfs, transformed,
+        )
+
+
+def prior_like(posterior_mus: LevelDict, posterior_sigmas: LevelDict):
+    """Standard-normal prior moments shaped like the posterior
+    (pulpo.py:323-340)."""
+    prior_mus = {l: jnp.zeros_like(m) for l, m in posterior_mus.items()}
+    prior_sigmas = {l: jnp.ones_like(s) for l, s in posterior_sigmas.items()}
+    return prior_mus, prior_sigmas
+
+
+class PULPoModule(nn.Module):
+    """Full network: DownPath + Autoencoder (reference model body,
+    src/models.py:76-94 construction, 134-146 forward)."""
+
+    cfg: PULPoConfig
+    dtype: Any = None
+    bn_axis_name: str | None = None
+
+    def setup(self):
+        self.downpath = DownPath(self.cfg, self.dtype, self.bn_axis_name)
+        self.autoencoder = Autoencoder(self.cfg, self.dtype, self.bn_axis_name)
+
+    def __call__(self, x, y, deterministic: bool = False, train: bool = True):
+        acts = self.downpath(x, y, train=train)
+        return self.autoencoder(x, acts, deterministic=deterministic, train=train)
+
+    def encode(self, x, y, train: bool = False):
+        return self.downpath(x, y, train=train)
+
+    def decode(self, x, down_activations, deterministic=False, train: bool = False):
+        return self.autoencoder(x, down_activations, deterministic, train)

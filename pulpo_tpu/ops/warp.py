@@ -1,0 +1,175 @@
+"""Dense warping, SVF integration and vector-field resizing.
+
+Replicates the reference registration primitives exactly
+(src/network_blocks.py:88-177) in a channels-last, jit-friendly form:
+
+- ``warp_image`` == SpatialTransformer: displacement is added to an
+  ij-indexed identity grid, normalized with ``2*(loc/(size-1)-0.5)`` and
+  sampled by ``F.grid_sample(mode='bilinear', padding_mode='border',
+  align_corners=False)``. The composite coordinate mapping is
+  ``src = clamp(loc * size/(size-1) - 0.5, 0, size-1)`` per axis
+  (verified bit-for-bit vs torch in tests/test_warp.py). The reference's
+  channel flip (network_blocks.py:113-117) only converts ij->xy for
+  grid_sample; we sample in ij directly so no flip exists here.
+- ``integrate_svf`` == VecInt: scaling & squaring with
+  ``vec *= 1/2**nsteps`` then ``vec = vec + warp(vec, vec)`` repeated
+  (network_blocks.py:160-177).
+- ``resize_vecfield`` == ResizeTransform: resizes AND rescales a vector
+  field, preserving the multiply/interpolate ordering of
+  network_blocks.py:138-150.
+
+Layout: images (B, *spatial, C); displacement fields (B, *spatial, ndims)
+with channel i = displacement along spatial axis i in voxels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pulpo_tpu.ops.resize import resize_linear
+
+
+def _source_coords(df: jnp.ndarray, in_spatial: tuple[int, ...]) -> list[jnp.ndarray]:
+    """Per-axis absolute source coordinates (into an input of size
+    `in_spatial`) for a displacement field defined on the *output* grid.
+
+    Matches the reference SpatialTransformer + grid_sample composition:
+    the grid is normalized by the transformer's (output) size while
+    grid_sample unnormalizes by the *input* size — so warping an image of
+    a different resolution than the df is well-defined (used by
+    models.py:330 where full-res x is warped by level-res dfs):
+      src = (g + df) / (S_out - 1) * S_in - 0.5,  clamped to [0, S_in-1].
+    """
+    out_spatial = df.shape[1:-1]
+    ndims = len(out_spatial)
+    coords = []
+    for i in range(ndims):
+        s_out, s_in = out_spatial[i], in_spatial[i]
+        g = jax.lax.broadcasted_iota(jnp.float32, out_spatial, i)
+        loc = g[None] + df[..., i].astype(jnp.float32)
+        src = loc * (s_in / (s_out - 1)) - 0.5
+        coords.append(jnp.clip(src, 0.0, s_in - 1))
+    return coords
+
+
+def warp_image(moving: jnp.ndarray, df: jnp.ndarray) -> jnp.ndarray:
+    """Warp `moving` (B, *in_spatial, C) by `df` (B, *out_spatial, nd).
+
+    Bilinear/trilinear, border padding, align_corners=False semantics.
+    Output has the df's spatial shape; moving may have a different
+    resolution (relative/normalized-coordinate warping, see
+    _source_coords).
+    """
+    spatial = moving.shape[1:-1]
+    ndims = len(spatial)
+    assert df.shape[-1] == ndims, (
+        f"df shape {df.shape} incompatible with moving {moving.shape}"
+    )
+    coords = _source_coords(df, spatial)
+
+    i0, i1, w = [], [], []
+    for c, size in zip(coords, spatial):
+        f = jnp.floor(c)
+        idx0 = f.astype(jnp.int32)
+        idx1 = jnp.minimum(idx0 + 1, size - 1)
+        i0.append(idx0)
+        i1.append(idx1)
+        w.append((c - f).astype(moving.dtype))
+
+    b = moving.shape[0]
+    n_in = 1
+    for s in spatial:
+        n_in *= s
+    out_spatial = df.shape[1:-1]
+    n_out = 1
+    for s in out_spatial:
+        n_out *= s
+    flat = moving.reshape(b, n_in, moving.shape[-1])
+
+    # strides for flattening input spatial indices
+    strides = []
+    acc = 1
+    for s in reversed(spatial):
+        strides.append(acc)
+        acc *= s
+    strides = strides[::-1]
+
+    out = None
+    # 2**ndims corner gathers, fused by XLA with the weight combine.
+    for corner in range(2**ndims):
+        idx = 0
+        weight = None
+        for ax in range(ndims):
+            hi = (corner >> ax) & 1
+            iax = i1[ax] if hi else i0[ax]
+            wax = w[ax] if hi else (1.0 - w[ax])
+            idx = idx + iax * strides[ax]
+            weight = wax if weight is None else weight * wax
+        g = jnp.take_along_axis(flat, idx.reshape(b, n_out, 1), axis=1)
+        contrib = g * weight.reshape(b, n_out, 1)
+        out = contrib if out is None else out + contrib
+    return out.reshape(b, *out_spatial, moving.shape[-1])
+
+
+def integrate_svf(vec: jnp.ndarray, nsteps: int = 7) -> jnp.ndarray:
+    """Scaling-and-squaring integration of a stationary velocity field.
+
+    vec: (B, *spatial, ndims). Matches VecInt (network_blocks.py:160-177):
+    note the reference uses ``vec + warp(vec, vec)`` (not composition of
+    the half-step with itself via phi o phi), which we reproduce.
+    """
+    assert nsteps >= 0
+    vec = vec * (1.0 / (2**nsteps))
+    for _ in range(nsteps):
+        vec = vec + warp_image(vec, vec)
+    return vec
+
+
+def resize_vecfield(
+    x: jnp.ndarray,
+    vel_resize: float,
+    out_size: tuple[int, ...] | None = None,
+) -> jnp.ndarray:
+    """ResizeTransform: resize a vector field and rescale its magnitudes.
+
+    factor = 1/vel_resize. factor < 1: interpolate then multiply;
+    factor > 1: multiply then interpolate; factor == 1: identity
+    (network_blocks.py:138-150). Output size defaults to
+    floor(in * factor) per axis, matching F.interpolate(scale_factor=...).
+    """
+    factor = 1.0 / vel_resize
+    spatial = x.shape[1:-1]
+    if out_size is None:
+        out_size = tuple(int(s * factor) for s in spatial)
+    scales = tuple(factor for _ in spatial)
+    if factor < 1:
+        x = resize_linear(x, out_size, scales=scales)
+        x = x * factor
+    elif factor > 1:
+        x = x * factor
+        x = resize_linear(x, out_size, scales=scales)
+    return x
+
+
+def warp_landmarks(lm: jnp.ndarray, df: jnp.ndarray) -> jnp.ndarray:
+    """Warp landmarks by a displacement field.
+
+    lm: (B, N, ndims) voxel coordinates (ij order). df: (B, *spatial,
+    ndims). Matches the reference's integer-gather-and-subtract
+    (src/components/utils.py:15-25): new_lm = lm - df[:, :, z, y, x].
+    """
+    b = lm.shape[0]
+    lmi = lm.astype(jnp.int32)
+    spatial = df.shape[1:-1]
+    ndims = len(spatial)
+    strides = []
+    acc = 1
+    for s in reversed(spatial):
+        strides.append(acc)
+        acc *= s
+    strides = strides[::-1]
+    idx = sum(lmi[..., ax] * strides[ax] for ax in range(ndims))  # (B, N)
+    flat = df.reshape(b, -1, ndims)
+    sampled = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (B, N, nd)
+    return lm - sampled

@@ -1,0 +1,29 @@
+"""Test config: force CPU JAX with 8 virtual devices for mesh tests.
+
+Must run before the first jax import anywhere in the test session.
+"""
+
+import os
+
+# force CPU even when the session environment preselects a TPU platform
+# (JAX_PLATFORMS=axon): golden tests need f32 CPU numerics, and mesh
+# tests need 8 virtual devices. The axon sitecustomize overrides the env
+# var at import, so pin the config explicitly too (before first backend
+# use).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# f32 matmuls on CPU: keep full precision for golden comparisons
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+# persistent compilation cache: recompiles dominate test time on 1 CPU
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
