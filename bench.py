@@ -1,0 +1,81 @@
+"""Benchmark: registered pairs/sec with 32 posterior samples, OASIS
+full-res (160x192x224), on one TPU chip.
+
+North-star metric from BASELINE.md: >= 20 pairs/sec/chip with 32
+posterior samples (the full UQ workload: per-sample decode + per-sample
+SVF integration + std maps + mean-SVF re-warp, all on-chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N/20}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_PAIRS_PER_SEC = 20.0
+N_SAMPLES = 32
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pulpo_tpu.config import PULPoConfig
+    from pulpo_tpu.models.api import PULPoModel
+    from pulpo_tpu.uq.predict import predict_with_uncertainty
+
+    input_size = (160, 192, 224)
+    if os.environ.get("PULPO_BENCH_SMALL"):  # quick CI / CPU sanity mode
+        input_size = (32, 32, 32)
+
+    cfg = PULPoConfig(
+        input_size=input_size,
+        total_levels=5,
+        latent_levels=4,
+        n0=32,
+        compute_dtype=os.environ.get("PULPO_BENCH_DTYPE", "bfloat16"),
+        dataset="oasis",
+    )
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    model = PULPoModel(cfg, dtype=dtype)
+    variables = model.init(jax.random.key(0))
+
+    kx, ky = jax.random.split(jax.random.key(1))
+    x = jax.random.uniform(kx, (1, *cfg.input_size, 1), jnp.float32)
+    y = jax.random.uniform(ky, (1, *cfg.input_size, 1), jnp.float32)
+
+    chunk = int(os.environ.get("PULPO_BENCH_CHUNK", "8"))
+    rng = jax.random.key(2)
+
+    def run(r):
+        res = predict_with_uncertainty(model, variables, x, y, N_SAMPLES, r, chunk=chunk)
+        return res.mean_outputs[0], res.output_std[0], res.final_df_std[0]
+
+    # warmup / compile
+    out = run(rng)
+    jax.block_until_ready(out)
+
+    iters = int(os.environ.get("PULPO_BENCH_ITERS", "5"))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(jax.random.fold_in(rng, i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = iters / dt
+    result = {
+        "metric": f"oasis_fullres_uq{N_SAMPLES}_pairs_per_sec",
+        "value": round(pairs_per_sec, 4),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 4),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)

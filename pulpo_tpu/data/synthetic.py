@@ -19,7 +19,9 @@ def random_smooth_volume(rng: np.random.Generator, shape, smoothness: float = 0.
     filt = np.ones(shape, dtype=np.float32)
     for ax, s in enumerate(shape):
         freq = np.abs(np.fft.fftfreq(s))
-        keep = (freq <= smoothness * 0.5).astype(np.float32)
+        # keep at least the first harmonic so tiny volumes aren't constant
+        cutoff = max(smoothness * 0.5, 1.01 / s)
+        keep = (freq <= cutoff).astype(np.float32)
         filt *= keep.reshape([-1 if i == ax else 1 for i in range(len(shape))])
     img = np.real(np.fft.ifftn(f * filt)).astype(np.float32)
     lo, hi = img.min(), img.max()

@@ -1,0 +1,460 @@
+"""The evaluation & analysis suite (reference: evaluate.py, class
+Evaluate).
+
+Drives a trained model through visualizations, deterministic performance
+tables and N-sample uncertainty tables, using the on-chip UQ path
+instead of the reference's host-side sample loop.
+
+Output layout mirrors the reference: <run_dir>/evaluation/{vis, jdet,
+loss, uncertainty}/...
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from pulpo_tpu.config import PULPoConfig
+from pulpo_tpu.eval import metrics as M
+from pulpo_tpu.eval.artifact import artifact as artifact_fn
+from pulpo_tpu.eval.tables import make_tables, table_jdet
+from pulpo_tpu.models.api import PULPoModel
+from pulpo_tpu.ops import losses as L
+from pulpo_tpu.ops.warp import warp_image, warp_landmarks
+from pulpo_tpu.uq.predict import predict_with_uncertainty
+
+
+class Evaluate:
+    """Evaluation driver (reference evaluate.py:31-59)."""
+
+    def __init__(self, checkpoint_name: str = "best-reconstruction-loss"):
+        self.checkpoint_name = checkpoint_name
+        self.model: PULPoModel | None = None
+        self.variables = None
+        self.latent_levels = None
+        self.segs = False
+        self.lms = False
+        self.mask = False
+        self.output_dir = None
+        self.rng = jax.random.key(0)
+
+    # ------------------------------------------------------------------
+    # Loading
+    # ------------------------------------------------------------------
+
+    def load_model(self, run_dir) -> PULPoModel:
+        """Load config + best-reconstruction checkpoint from a run dir
+        (reference globs checkpoints/best-reconstruction*, evaluate.py:33,
+        91-111)."""
+        # local imports: pulpo_tpu.train pulls in the metric writer which
+        # imports back into pulpo_tpu.eval (avoid the import cycle)
+        from pulpo_tpu.train.checkpoint import CheckpointManager
+        from pulpo_tpu.train.step import create_train_state
+
+        run_dir = pathlib.Path(run_dir)
+        cfg = CheckpointManager.load_config(run_dir)
+        model = PULPoModel(cfg)
+        state, _ = create_train_state(model, seed=cfg.random_seed)
+        ckpt = CheckpointManager(run_dir, cfg)
+        name = self.checkpoint_name
+        if not (run_dir / "checkpoints" / name).exists():
+            name = "latest"
+        state = ckpt.restore(jax.device_get(state), name=name)
+        self.variables = {"params": state.params, "batch_stats": state.batch_stats}
+        self.model = model
+        self.latent_levels = cfg.latent_levels
+        self.output_dir = run_dir / "evaluation"
+        self.output_dir.mkdir(exist_ok=True)
+        return model
+
+    def set_model(self, model: PULPoModel, variables, output_dir="evaluation_out"):
+        """Use an in-memory model (no checkpoint round-trip)."""
+        self.model = model
+        self.variables = variables
+        self.latent_levels = model.cfg.latent_levels
+        self.output_dir = pathlib.Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        return model
+
+    def load_data(self, task, segs, lms, mask, ndims=3, path=None):
+        """Build loaders + metric lists (evaluate.py:120-159)."""
+        self.segs, self.lms, self.mask = segs, lms, mask
+        self.task = task
+        if task == "oasis":
+            from pulpo_tpu.data.oasis import create_data_loaders
+
+            loaders = create_data_loaders(1, segs=segs, lms=lms, mask=mask,
+                                          ndims=ndims, path=path)
+            self.loaders = list(loaders)
+            self.loader_names = ["train", "val", "test_seg", "test_lm"]
+        elif task == "brats":
+            from pulpo_tpu.data.brats import create_data_loaders
+
+            loaders = create_data_loaders(1, segs=segs, lms=lms, mask=mask,
+                                          ndims=ndims, path=path)
+            self.loaders = list(loaders)
+            self.loader_names = ["train", "val", "test"]
+        elif task == "synthetic":
+            from pulpo_tpu.data.loader import DataLoader
+            from pulpo_tpu.data.synthetic import SyntheticDataset
+
+            shape = self.model.cfg.input_size if self.model else (24, 28, 32)
+            mk = lambda seed, n: DataLoader(
+                SyntheticDataset(shape=shape, n=n, segs=segs, lms=lms, seed=seed),
+                batch_size=1, shuffle=False, seed=seed)
+            self.loaders = [mk(0, 4), mk(1, 2), mk(2, 2)]
+            self.loader_names = ["train", "val", "test"]
+        else:
+            raise ValueError(f"Task {task} does not exist.")
+
+        self.metric_names = ["RMSE", "JDetStd", "JDetLeq0"]
+        if segs:
+            self.metric_names += ["Dice"]
+        if lms:
+            self.metric_names += ["LM_MAE", "LM_Euclid"]
+        self.num_datasets = len(self.loaders)
+        self.num_metrics = len(self.metric_names)
+        self.num_inputs = max(len(dl.dataset) for dl in self.loaders)
+
+    def sample_data(self, loader_name: str, index: int = 0):
+        """One batch from a named loader (evaluate.py:161-177)."""
+        loader = self.loaders[self.loader_names.index(loader_name)]
+        for i, batch in enumerate(loader):
+            if i == index:
+                batch["loader"] = loader_name
+                return batch
+        raise ValueError(f"Index {index} out of range for loader {loader_name}.")
+
+    def _next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    # ------------------------------------------------------------------
+    # Prediction (evaluate.py:179-280 schema)
+    # ------------------------------------------------------------------
+
+    def predict(self, batch, num_samples=20, deterministic=False):
+        """Returns (preds, all_preds) in the reference tuple schema:
+
+        preds = [y_pred, df_pred, seg_pred, outputs, individual_dfs,
+                 combined_dfs, final_dfs, warped_seg, prediction_name]
+        all_preds = [] for N==1, else [output_std, individual_df_std,
+                 final_df_std, all_outputs, all_individual_dfs,
+                 all_combined_dfs, all_final_dfs, all_warped_seg]
+        """
+        model, variables = self.model, self.variables
+        x, y = jnp.asarray(batch["x"]), jnp.asarray(batch["y"])
+        seg_x = batch.get("seg_x")
+        if deterministic and num_samples != 1:
+            raise ValueError(
+                "Deterministic predictions with more than 1 sample make no sense!")
+
+        if num_samples == 1:
+            if deterministic:
+                outputs, individual_dfs = model.predict_deterministic(variables, x, y)
+                name = "deterministic_prediction"
+            else:
+                outputs, individual_dfs = model.predict(
+                    variables, x, y, 1, self._next_rng())
+                name = "sample_prediction"
+            combined_dfs, final_dfs = model.combine_dfs(individual_dfs)
+            if self.segs and seg_x is not None:
+                warped_seg = {
+                    l: warp_image(jnp.asarray(seg_x), final_dfs[l]) for l in final_dfs}
+            else:
+                warped_seg = {0: np.empty((0,), np.float32)}
+            return (
+                [outputs[0], final_dfs[0], warped_seg[0], outputs, individual_dfs,
+                 combined_dfs, final_dfs, warped_seg, name],
+                [],
+            )
+
+        name = f"avg_prediction_over_{num_samples}_samples"
+        mask = jnp.asarray(batch["mask_x"]) if (self.mask and batch.get("mask_x") is not None) else None
+        res = predict_with_uncertainty(
+            model, variables, x, y, num_samples, self._next_rng(), mask=mask)
+        combined_dfs, final_dfs = model.combine_dfs(res.avg_dfs)
+        if self.segs and seg_x is not None:
+            warped_seg = {l: warp_image(jnp.asarray(seg_x), final_dfs[l]) for l in final_dfs}
+        else:
+            warped_seg = {0: np.empty((0,), np.float32)}
+        # sample axis first like the reference's all_* buffers (N, ...)
+        unswap = lambda d: {l: jnp.swapaxes(v, 0, 1)[:, 0] for l, v in d.items()}
+        all_outputs = unswap(res.outputs)
+        preds = [res.mean_outputs[0], final_dfs[0], warped_seg[0], res.mean_outputs,
+                 res.avg_dfs, combined_dfs, final_dfs, warped_seg, name]
+        all_preds = [res.output_std, res.individual_df_std, res.final_df_std,
+                     all_outputs, None, None, None, warped_seg]
+        return preds, all_preds
+
+    # ------------------------------------------------------------------
+    # Performance table (evaluate.py:1379-1498)
+    # ------------------------------------------------------------------
+
+    def performance(self, artifact: str = "", save: bool = True) -> pd.DataFrame:
+        model, variables = self.model, self.variables
+        K = self.latent_levels
+        all_metrics = np.zeros(
+            [self.num_metrics, K, self.num_datasets, self.num_inputs], dtype=float)
+
+        unit_w = {l: 1.0 for l in range(K)}
+        unit_win = {l: 1 for l in range(K)}
+
+        for k, loader in enumerate(self.loaders):
+            for j, batch in enumerate(loader):
+                x, y = jnp.asarray(batch["x"]), jnp.asarray(batch["y"])
+                if artifact:
+                    sz = x.shape[1:-1]
+                    box = tuple((int(s * 0.45), int(s * 0.65)) for s in sz)
+                    x = jnp.asarray(artifact_fn(np.asarray(x), artifact, *box))
+                outputs, individual_dfs = model.predict_deterministic(variables, x, y)
+                _, final_dfs = model.combine_dfs(individual_dfs)
+
+                seg_x, seg_y = batch.get("seg_x"), batch.get("seg_y")
+                has_segs = seg_x is not None
+                if has_segs:
+                    pred_segs = {
+                        l: warp_image(jnp.asarray(seg_x), final_dfs[l]) for l in final_dfs}
+
+                num_pixels = {
+                    l: float(np.prod(outputs[l].shape[1:-1])) for l in range(K)}
+                col = 0
+                # RMSE: unit-weight hierarchical MSE / voxels, sqrt
+                _, level_mse = L.hierarchical_reconstruction_loss(
+                    outputs, y, unit_w, ("mse",), unit_win)
+                for l in range(K):
+                    all_metrics[col, l, k, j] = float(
+                        jnp.sqrt(level_mse[l] / num_pixels[l]))
+                col += 1
+                # JDetStd over final dfs
+                _, level_jdet = L.hierarchical_regularization(
+                    final_dfs, unit_w, regularizer="jdet", lamb=1.0)
+                for l in range(K):
+                    all_metrics[col, l, k, j] = float(level_jdet[l])
+                col += 1
+                # JDetLeq0 %
+                for l in range(K):
+                    jd = L.jacobian_det(final_dfs[l])
+                    all_metrics[col, l, k, j] = M.jdet_leq0_percent(np.asarray(jd))
+                col += 1
+                if "Dice" in self.metric_names:
+                    if has_segs:
+                        _, level_dice = L.hierarchical_reconstruction_loss(
+                            outputs, y, unit_w, ("dice",), unit_win,
+                            dice_factor=1.0, y_hat_seg=pred_segs,
+                            seg_y=jnp.asarray(seg_y))
+                        for l in range(K):
+                            all_metrics[col, l, k, j] = 1.0 - float(
+                                level_dice[l] / num_pixels[l])
+                    col += 1
+                if "LM_MAE" in self.metric_names:
+                    lm_x, lm_y = batch.get("lm_x"), batch.get("lm_y")
+                    if lm_x is not None and lm_y is not None and lm_x.size and lm_y.size:
+                        warped = warp_landmarks(jnp.asarray(lm_x), final_dfs[0])
+                        all_metrics[col, 0, k, j] = M.lm_mae(np.asarray(warped), lm_y)
+                        all_metrics[col + 1, 0, k, j] = M.lm_euclid(
+                            np.asarray(warped), lm_y)
+                    col += 2
+
+        # zero entries = absent modality; nanmean ignores them
+        all_metrics[all_metrics == 0] = np.nan
+        mean_metrics = np.nanmean(all_metrics, axis=-1)
+        data = np.concatenate(mean_metrics.T, axis=1)
+        sets = np.repeat(self.loader_names, self.num_metrics)
+        mets = np.tile(self.metric_names, self.num_datasets)
+        mux = pd.MultiIndex.from_arrays((sets, mets))
+        df = pd.DataFrame(data, columns=mux, index=range(K)).round(3)
+        if save:
+            make_tables(df, self.output_dir / "loss", name="loss_table_deterministic")
+        return df
+
+    # ------------------------------------------------------------------
+    # Uncertainty table (evaluate.py:1500-1576)
+    # ------------------------------------------------------------------
+
+    def uncertainty(self, num_samples: int, save: bool = True) -> pd.DataFrame:
+        if num_samples < 2:
+            raise ValueError("N has to be at least 2")
+        model, variables = self.model, self.variables
+        metric_names = ["Var", "NCC"]
+        if self.lms:
+            metric_names += ["LM_VAR", "LM_NCC"]
+        all_metrics = np.zeros(
+            [len(metric_names), self.num_datasets, self.num_inputs], dtype=float)
+
+        for k, loader in enumerate(self.loaders):
+            for j, batch in enumerate(loader):
+                x, y = jnp.asarray(batch["x"]), jnp.asarray(batch["y"])
+                res = predict_with_uncertainty(
+                    model, variables, x, y, num_samples, self._next_rng())
+                all_moved = np.asarray(res.outputs[0][0])  # (N, *sp, C)
+                moved_std = np.asarray(res.output_std[0][0])  # (*sp,)
+                mse = np.mean((all_moved - np.asarray(y[0])) ** 2, axis=0)[..., 0]
+                var = moved_std**2
+                all_metrics[0, k, j] = var.mean()
+                all_metrics[1, k, j] = M.global_ncc(var, mse)
+
+                lm_x, lm_y = batch.get("lm_x"), batch.get("lm_y")
+                if self.lms and lm_x is not None and lm_x.size and lm_y is not None and lm_y.size:
+                    _, fdfs = model.combine_dfs(res.avg_dfs)
+                    lm_hat = np.asarray(
+                        warp_landmarks(jnp.asarray(lm_x), fdfs[0]))
+                    warped_lms = self._per_sample_landmarks(
+                        batch, lm_x, num_samples)
+                    all_metrics[2, k, j] = M.lms_var(warped_lms).mean()
+                    all_metrics[3, k, j] = M.lms_corr(
+                        lm_hat[0], warped_lms, np.asarray(lm_y)[0])
+
+        all_metrics[all_metrics == 0] = np.nan
+        mean_metrics = np.nanmean(all_metrics, axis=-1)
+        data = np.concatenate(mean_metrics.T)[None, :]
+        sets = np.repeat(self.loader_names, len(metric_names))
+        mets = np.tile(metric_names, self.num_datasets)
+        mux = pd.MultiIndex.from_arrays((sets, mets))
+        df = pd.DataFrame(data, columns=mux)
+        if save:
+            make_tables(df, self.output_dir / "uncertainty", name="loss_table")
+        return df
+
+    def _per_sample_landmarks(self, batch, lm_x, num_samples):
+        """Warp landmarks by each sample's final df (the reference uses
+        all_final_dfs, evaluate.py:1551-1552). Per-sample individual dfs
+        are redrawn (UQResult doesn't retain them to bound memory at
+        large N) and pushed through per-sample combine+integrate."""
+        model = self.model
+        x, y = jnp.asarray(batch["x"]), jnp.asarray(batch["y"])
+        _, ind = model.predict_output_samples(
+            self.variables, x, y, num_samples, self._next_rng())
+        # fold samples into the batch axis: one combine_dfs for all draws
+        ind_flat = {l: v.reshape(-1, *v.shape[2:]) for l, v in ind.items()}
+        _, fdfs = model.combine_dfs(ind_flat)
+        lm_rep = jnp.repeat(jnp.asarray(lm_x), num_samples, axis=0)
+        warped = warp_landmarks(lm_rep, fdfs[0])  # (N, n_lm, nd)
+        return np.asarray(warped)
+
+    # ------------------------------------------------------------------
+    # Affine (identity) baseline (evaluate.py:1146-1221)
+    # ------------------------------------------------------------------
+
+    def performance_affine(self, save: bool = True) -> pd.DataFrame:
+        """No-op registration baseline: prediction == moving image
+        (the datasets are affinely pre-aligned)."""
+        all_metrics = np.zeros(
+            [self.num_metrics, self.num_datasets, self.num_inputs], dtype=float)
+        for k, loader in enumerate(self.loaders):
+            for j, batch in enumerate(loader):
+                x, y = np.asarray(batch["x"]), np.asarray(batch["y"])
+                all_metrics[0, k, j] = M.rmse(x, y)
+                seg_x, seg_y = batch.get("seg_x"), batch.get("seg_y")
+                if "Dice" in self.metric_names and seg_x is not None:
+                    all_metrics[self.metric_names.index("Dice"), k, j] = M.dsc(
+                        seg_x, seg_y)
+                lm_x, lm_y = batch.get("lm_x"), batch.get("lm_y")
+                if "LM_MAE" in self.metric_names and lm_x is not None and lm_x.size:
+                    all_metrics[self.metric_names.index("LM_MAE"), k, j] = M.lm_mae(
+                        lm_x, lm_y)
+                    all_metrics[self.metric_names.index("LM_Euclid"), k, j] = (
+                        M.lm_euclid(lm_x, lm_y))
+        all_metrics[all_metrics == 0] = np.nan
+        mean_metrics = np.nanmean(all_metrics, axis=-1)
+        data = mean_metrics.T
+        sets = np.repeat(self.loader_names, self.num_metrics)
+        mets = np.tile(self.metric_names, self.num_datasets)
+        df = pd.DataFrame(
+            data.reshape(1, -1),
+            columns=pd.MultiIndex.from_arrays((sets, mets)))
+        if save:
+            make_tables(df, self.output_dir / "loss", name="loss_table_affine")
+        return df
+
+    # ------------------------------------------------------------------
+    # Full pipeline (evaluate.py:1579-1719)
+    # ------------------------------------------------------------------
+
+    def run_one_model(self, run_dir=None, segs=False, lms=False, mask=False,
+                      N=10, task="oasis", data_path=None, visualize=True):
+        if run_dir is not None:
+            self.load_model(run_dir)
+        ndims = self.model.cfg.ndims
+        self.load_data(task=task, segs=segs, lms=lms, mask=mask, ndims=ndims,
+                       path=data_path)
+        for sub in ("jdet", "loss", "uncertainty", "vis"):
+            (self.output_dir / sub).mkdir(parents=True, exist_ok=True)
+
+        if visualize:
+            from pulpo_tpu.eval.visualize import visualize_prediction
+
+            for k, lname in enumerate(self.loader_names):
+                batch = self.sample_data(loader_name=lname)
+                for pname, (ns, det) in {
+                    "deterministic": (1, True),
+                    "sample": (1, False),
+                    f"avg_{N}": (N, False),
+                }.items():
+                    preds, all_preds = self.predict(batch, num_samples=ns,
+                                                    deterministic=det)
+                    visualize_prediction(
+                        batch, preds, all_preds, latent_levels=self.latent_levels,
+                        title=f"All visualizations on {lname} set with {pname} prediction",
+                        save_path=self.output_dir / "vis" / f"allvis{lname}_{pname}.png",
+                    )
+                    table_jdet(
+                        {l: np.asarray(v) for l, v in preds[6].items()},
+                        {l: np.asarray(v) for l, v in preds[4].items()},
+                        output_dir=self.output_dir / "jdet",
+                        name=f"{lname}_{pname}", save=True, fontsize=10)
+
+        perf = self.performance()
+        unc = self.uncertainty(num_samples=N) if N > 1 else None
+        return perf, unc
+
+    # ------------------------------------------------------------------
+    # Multi-model leaderboard (evaluate.py:1721-1801)
+    # ------------------------------------------------------------------
+
+    def compare_models(self, run_dirs, model_names=None, task="oasis", segs=False,
+                       lms=False, N=10, data_path=None,
+                       output_dir="experiments/compare") -> pd.DataFrame:
+        model_names = model_names or [str(r) for r in run_dirs]
+        first = True
+        rows = []
+        for rd in run_dirs:
+            self.load_model(rd)
+            if first:
+                self.load_data(task=task, segs=segs, lms=lms, mask=False,
+                               ndims=self.model.cfg.ndims, path=data_path)
+                first = False
+            all_metrics = np.zeros(
+                [self.num_metrics, self.num_datasets, self.num_inputs], float)
+            for k, loader in enumerate(self.loaders):
+                for j, batch in enumerate(loader):
+                    x, y = jnp.asarray(batch["x"]), jnp.asarray(batch["y"])
+                    outputs, dfs = self.model.predict(
+                        self.variables, x, y, N, self._next_rng())
+                    _, final_dfs = self.model.combine_dfs(dfs)
+                    y_pred, df_pred = outputs[0], final_dfs[0]
+                    num_pixels = float(np.prod(y_pred.shape[1:-1]))
+                    all_metrics[0, k, j] = float(
+                        jnp.sqrt(L.l2_loss(y_pred, y) / num_pixels))
+                    all_metrics[1, k, j] = float(L.jdet_std(df_pred, lamb=1.0))
+                    all_metrics[2, k, j] = M.jdet_leq0_percent(
+                        np.asarray(L.jacobian_det(df_pred)))
+                    seg_x, seg_y = batch.get("seg_x"), batch.get("seg_y")
+                    if "Dice" in self.metric_names and seg_x is not None:
+                        pred_seg = warp_image(jnp.asarray(seg_x), final_dfs[0])
+                        all_metrics[self.metric_names.index("Dice"), k, j] = 1 - float(
+                            L.soft_dice_loss(pred_seg, jnp.asarray(seg_y)) / num_pixels)
+            all_metrics[all_metrics == 0] = np.nan
+            rows.append(np.concatenate(np.nanmean(all_metrics, axis=-1).T))
+        sets = np.repeat(self.loader_names, self.num_metrics)
+        mets = np.tile(self.metric_names, self.num_datasets)
+        df = pd.DataFrame(np.stack(rows), index=model_names,
+                          columns=pd.MultiIndex.from_arrays((sets, mets))).round(3)
+        make_tables(df, output_dir, name="loss_table")
+        return df

@@ -1,0 +1,120 @@
+"""Training-step and loop tests on tiny synthetic volumes (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pulpo_tpu.config import PULPoConfig
+from pulpo_tpu.data.loader import DataLoader
+from pulpo_tpu.data.synthetic import SyntheticDataset
+from pulpo_tpu.models.api import PULPoModel
+from pulpo_tpu.train.step import create_train_state, make_train_step
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        input_size=(12, 14, 16), total_levels=3, latent_levels=2, n0=2,
+        dataset="synthetic", batch_size=2,
+    )
+    base.update(kw)
+    return PULPoConfig(**base)
+
+
+def make_batch(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "x": jnp.asarray(rng.random((cfg.batch_size, *cfg.input_size, 1), dtype=np.float32)),
+        "y": jnp.asarray(rng.random((cfg.batch_size, *cfg.input_size, 1), dtype=np.float32)),
+    }
+
+
+def test_train_step_updates_params_and_decreases_loss():
+    cfg = tiny_cfg()
+    model = PULPoModel(cfg)
+    state, tx = create_train_state(model, seed=0)
+    step = jax.jit(make_train_step(model, tx))
+    batch = make_batch(cfg)
+
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    losses = []
+    for _ in range(25):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["total_loss"]))
+    assert not np.allclose(p0, jax.tree.leaves(state.params)[0])
+    assert np.isfinite(losses).all()
+    assert not bool(metrics["nan_flag"])
+    # overfit a fixed pair: the loss must come down
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_nan_guard_fires():
+    cfg = tiny_cfg()
+    model = PULPoModel(cfg)
+    state, tx = create_train_state(model, seed=0)
+    step = jax.jit(make_train_step(model, tx))
+    batch = make_batch(cfg)
+    batch["x"] = batch["x"].at[0].set(jnp.nan)
+    _, metrics = step(state, batch)
+    assert bool(metrics["nan_flag"])
+
+
+def test_regularizer_jdet_runs():
+    cfg = tiny_cfg(regularizer="jdet")
+    model = PULPoModel(cfg)
+    state, tx = create_train_state(model, seed=0)
+    step = jax.jit(make_train_step(model, tx))
+    _, metrics = step(state, make_batch(cfg))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_dice_recon_with_segs():
+    cfg = tiny_cfg(recon_loss=("ncc", "dice"), segs=True)
+    model = PULPoModel(cfg)
+    state, tx = create_train_state(model, seed=0)
+    step = jax.jit(make_train_step(model, tx))
+    batch = make_batch(cfg)
+    rng = np.random.default_rng(3)
+    labels = rng.integers(0, 4, (cfg.batch_size, *cfg.input_size))
+    onehot = np.eye(4, dtype=np.float32)[labels]
+    batch["seg_x"] = jnp.asarray(onehot)
+    batch["seg_y"] = jnp.asarray(onehot[:, ::-1].copy())
+    _, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_trainer_fit_and_checkpoint(tmp_path):
+    from pulpo_tpu.train.loop import Trainer
+    from pulpo_tpu.train.checkpoint import CheckpointManager
+
+    cfg = tiny_cfg(max_epochs=2, val_check_interval=0.5, log_every_n_steps=2,
+                   image_logging_frequency=1)
+    ds = SyntheticDataset(shape=cfg.input_size, n=4, seed=0)
+    train_dl = DataLoader(ds, batch_size=2, shuffle=True, seed=0)
+    val_dl = DataLoader(ds, batch_size=2, shuffle=False, seed=1)
+    trainer = Trainer(cfg, run_dir=str(tmp_path), experiment="t")
+    state = trainer.fit(train_dl, val_dl, max_steps=4)
+
+    ckdir = trainer.run_dir / "checkpoints"
+    assert (ckdir / "latest").exists()
+    assert (ckdir / "best-total-loss").exists()
+
+    # restore roundtrip
+    restored = trainer.ckpt.restore(jax.device_get(state), name="latest")
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
+    # config roundtrip
+    cfg2 = CheckpointManager.load_config(trainer.run_dir)
+    assert cfg2 == cfg
+
+
+def test_bf16_compute_dtype():
+    cfg = tiny_cfg(compute_dtype="bfloat16")
+    model = PULPoModel(cfg, dtype=jnp.bfloat16)
+    state, tx = create_train_state(model, seed=0)
+    step = jax.jit(make_train_step(model, tx))
+    _, metrics = step(state, make_batch(cfg))
+    assert np.isfinite(float(metrics["total_loss"]))
+    # params stay f32
+    assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
