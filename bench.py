@@ -51,19 +51,29 @@ def main():
     chunk = int(os.environ.get("PULPO_BENCH_CHUNK", "8"))
     rng = jax.random.key(2)
 
-    def run(r):
-        res = predict_with_uncertainty(model, variables, x, y, N_SAMPLES, r, chunk=chunk)
-        return res.mean_outputs[0], res.output_std[0], res.final_df_std[0]
+    from pulpo_tpu.uq.predict import _uq_impl
+
+    # Iterations are chained through a carried scalar (x depends on the
+    # previous result): remote/async runtimes cannot overlap or cache
+    # them, so wall-clock divided by iters is an honest per-pair time.
+    @jax.jit
+    def bench_step(carry, r):
+        res = _uq_impl(model, variables, x + carry, y, N_SAMPLES, r,
+                       mask=None, chunk=chunk)
+        out = (res.mean_outputs[0], res.output_std[0], res.final_df_std[0])
+        new_carry = res.output_std[0].mean().astype(jnp.float32) * 1e-12
+        return new_carry, out
 
     # warmup / compile
-    out = run(rng)
+    carry = jnp.zeros((), jnp.float32)
+    carry, out = bench_step(carry, rng)
     jax.block_until_ready(out)
 
     iters = int(os.environ.get("PULPO_BENCH_ITERS", "5"))
     t0 = time.perf_counter()
     for i in range(iters):
-        out = run(jax.random.fold_in(rng, i))
-    jax.block_until_ready(out)
+        carry, out = bench_step(carry, jax.random.fold_in(rng, i))
+    jax.block_until_ready((carry, out))
     dt = time.perf_counter() - t0
 
     pairs_per_sec = iters / dt

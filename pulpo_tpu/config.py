@@ -97,6 +97,8 @@ class PULPoConfig:
     compute_dtype: str = "float32"  # "bfloat16" for mixed precision
     use_pallas: bool = True  # Pallas kernels where available, XLA fallback
     remat: bool = False  # jax.checkpoint the per-level decode
+    debug_nans: bool = False  # jax_debug_nans (analog of the reference's
+    # always-on torch.autograd.set_detect_anomaly, models.py:50)
 
     # --- logging / checkpointing ---
     image_logging_frequency: int = 5000

@@ -415,6 +415,81 @@ class Evaluate:
         return perf, unc
 
     # ------------------------------------------------------------------
+    # DIF-VoxelMorph baseline (evaluate.py:113-118, 282-309, 1224-1377)
+    # ------------------------------------------------------------------
+
+    def load_vxm(self, variables, input_size, output_dir="evaluation_vxm"):
+        """Attach a native DIF-VM baseline (pulpo_tpu.models.voxelmorph)."""
+        from pulpo_tpu.models.voxelmorph import VxmModel
+
+        self.vxm = VxmModel(input_size)
+        self.vxm_variables = variables
+        self.output_dir = pathlib.Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        return self.vxm
+
+    def performance_vxm(self, num_samples: int = 1, save: bool = True) -> pd.DataFrame:
+        """Deterministic (or N-sample-mean) metrics for the baseline:
+        RMSE / JDetStd / JDetLeq0 (+ LM metrics) at full res
+        (evaluate.py:1224-1304)."""
+        names = ["RMSE", "JDetStd", "JDetLeq0"] + (
+            ["LM_MAE", "LM_Euclid"] if self.lms else [])
+        all_metrics = np.zeros([len(names), self.num_datasets, self.num_inputs])
+        for k, loader in enumerate(self.loaders):
+            for j, batch in enumerate(loader):
+                x, y = jnp.asarray(batch["x"]), jnp.asarray(batch["y"])
+                if num_samples == 1:
+                    moved, df, _ = self.vxm.apply(
+                        self.vxm_variables, x, y, deterministic=True)
+                else:
+                    moved, df, *_ = self.vxm.predict(
+                        self.vxm_variables, x, y, num_samples, self._next_rng())
+                all_metrics[0, k, j] = M.rmse(np.asarray(moved), np.asarray(y))
+                all_metrics[1, k, j] = float(L.jdet_std(df, lamb=1.0))
+                all_metrics[2, k, j] = M.jdet_leq0_percent(
+                    np.asarray(L.jacobian_det(df)))
+                lm_x, lm_y = batch.get("lm_x"), batch.get("lm_y")
+                if self.lms and lm_x is not None and lm_x.size and lm_y is not None and lm_y.size:
+                    warped = warp_landmarks(jnp.asarray(lm_x), df)
+                    all_metrics[3, k, j] = M.lm_mae(np.asarray(warped), lm_y)
+                    all_metrics[4, k, j] = M.lm_euclid(np.asarray(warped), lm_y)
+        all_metrics[all_metrics == 0] = np.nan
+        mean = np.nanmean(all_metrics, axis=-1)
+        sets = np.repeat(self.loader_names, len(names))
+        mets = np.tile(names, self.num_datasets)
+        df = pd.DataFrame(mean.T.reshape(1, -1),
+                          columns=pd.MultiIndex.from_arrays((sets, mets))).round(3)
+        if save:
+            make_tables(df, self.output_dir / "loss", name="loss_table_vxm")
+        return df
+
+    def uncertainty_vxm(self, num_samples: int, save: bool = True) -> pd.DataFrame:
+        """Var + NCC(var, mse) calibration for the baseline
+        (evaluate.py:1306-1377)."""
+        if num_samples < 2:
+            raise ValueError("N has to be at least 2")
+        names = ["Var", "NCC"]
+        all_metrics = np.zeros([len(names), self.num_datasets, self.num_inputs])
+        for k, loader in enumerate(self.loaders):
+            for j, batch in enumerate(loader):
+                x, y = jnp.asarray(batch["x"]), jnp.asarray(batch["y"])
+                _avg, _df, moved_std, _dstd, all_moved, _ = self.vxm.predict(
+                    self.vxm_variables, x, y, num_samples, self._next_rng())
+                mse = np.mean((np.asarray(all_moved) - np.asarray(y)) ** 2, axis=0)[0, ..., 0]
+                var = np.asarray(moved_std)[0] ** 2
+                all_metrics[0, k, j] = var.mean()
+                all_metrics[1, k, j] = M.global_ncc(var, mse)
+        all_metrics[all_metrics == 0] = np.nan
+        mean = np.nanmean(all_metrics, axis=-1)
+        sets = np.repeat(self.loader_names, len(names))
+        mets = np.tile(names, self.num_datasets)
+        df = pd.DataFrame(mean.T.reshape(1, -1),
+                          columns=pd.MultiIndex.from_arrays((sets, mets)))
+        if save:
+            make_tables(df, self.output_dir / "uncertainty", name="loss_table_vxm")
+        return df
+
+    # ------------------------------------------------------------------
     # Multi-model leaderboard (evaluate.py:1721-1801)
     # ------------------------------------------------------------------
 

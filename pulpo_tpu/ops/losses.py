@@ -108,19 +108,14 @@ def _box_sum(x: jnp.ndarray, win: int) -> jnp.ndarray:
     """Separable zero-padded box-filter sum over the spatial axes.
 
     Equivalent to the reference's ones-kernel convs with pad win//2
-    (losses.py:99-122), computed as nd sequential 1D reduce_windows.
+    (losses.py:99-122). Routed to the Pallas VMEM kernel on TPU
+    (pulpo_tpu/kernels/box_sum.py), lax.reduce_window elsewhere.
+    Expects channels-last with C == 1 (the NCC contract).
     """
-    pad = win // 2
-    ndim = x.ndim
-    for ax in _spatial_axes(x):
-        window = [1] * ndim
-        window[ax] = win
-        padding = [(0, 0)] * ndim
-        padding[ax] = (pad, pad)
-        x = jax.lax.reduce_window(
-            x, 0.0, jax.lax.add, tuple(window), (1,) * ndim, tuple(padding)
-        )
-    return x
+    from pulpo_tpu.kernels.box_sum import box_sum_nd
+
+    squeezed = x[..., 0]  # (B, *spatial)
+    return box_sum_nd(squeezed, win)[..., None]
 
 
 def ncc_loss(

@@ -169,6 +169,22 @@ def resize_vecfield(
     return x
 
 
+def resize_dfs(
+    dfs: dict[int, jnp.ndarray], target_size: tuple[int, ...] | None = None
+) -> dict[int, jnp.ndarray]:
+    """Resize a per-level dict of dfs to level-0's size (or a target).
+
+    Reference helper src/components/utils.py:4-13 (whose `range(keys())`
+    is a bug we fix by iterating the keys).
+    """
+    out = {}
+    for l, df in dfs.items():
+        ref_size = dfs[0].shape[1:-1] if target_size is None else tuple(target_size)
+        vel_resize = 1.0 / (ref_size[0] / df.shape[1])
+        out[l] = resize_vecfield(df, vel_resize, out_size=ref_size)
+    return out
+
+
 def warp_landmarks(lm: jnp.ndarray, df: jnp.ndarray) -> jnp.ndarray:
     """Warp landmarks by a displacement field.
 

@@ -57,17 +57,41 @@ class Trainer:
         import jax.numpy as jnp
 
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-        self.model = PULPoModel(cfg, dtype=dtype)
+        self.mesh = None
+        if cfg.data_parallel > 1:
+            from pulpo_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(cfg.data_parallel)
+        self.model = PULPoModel(
+            cfg, dtype=dtype,
+            bn_axis_name="data" if self.mesh is not None else None)
         self.writer = MetricWriter(self.run_dir)
         self.ckpt = CheckpointManager(self.run_dir, cfg)
         self.should_stop = False
         self.validation_counter = 0
 
     # ------------------------------------------------------------------
-    def fit(self, train_loader, val_loader, max_steps: int | None = None):
+    def fit(self, train_loader, val_loader, max_steps: int | None = None,
+            resume: bool = False):
         cfg = self.cfg
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         state, tx = create_train_state(self.model, seed=cfg.random_seed)
-        train_step = jax.jit(make_train_step(self.model, tx), donate_argnums=0)
+        if resume:
+            # preemption recovery: restore the latest checkpoint in place
+            state = self.ckpt.restore(jax.device_get(state), name="latest")
+            state = jax.device_put(state)
+            print(f"resumed from step {int(state.step)}")
+        if self.mesh is not None:
+            from pulpo_tpu.parallel.dp import make_dp_train_step, replicate_state
+            from pulpo_tpu.parallel.mesh import shard_batch_spec
+
+            state = replicate_state(state, self.mesh)
+            train_step = make_dp_train_step(self.model, tx, self.mesh)
+            self._batch_sharding = shard_batch_spec(self.mesh)
+        else:
+            train_step = jax.jit(make_train_step(self.model, tx), donate_argnums=0)
+            self._batch_sharding = None
         eval_step = make_eval_step(self.model)
 
         steps_per_epoch = len(train_loader)
@@ -77,7 +101,9 @@ class Trainer:
         pending = None  # (step, metrics) fetched one step late to avoid sync
 
         for epoch in range(cfg.max_epochs):
-            for batch in prefetch_to_device(iter(train_loader)):
+            for batch in prefetch_to_device(
+                iter(train_loader), sharding=self._batch_sharding
+            ):
                 if self.profile_dir and step == 10:
                     jax.profiler.start_trace(self.profile_dir)
                 if self.profile_dir and step == 13:

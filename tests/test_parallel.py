@@ -57,3 +57,21 @@ def test_dp_two_steps_loss_changes():
     shards = [np.asarray(s.data) for s in bs_leaf.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_trainer_dp_fit(tmp_path):
+    """Trainer wires the data mesh end-to-end (8 virtual CPU devices)."""
+    from pulpo_tpu.config import PULPoConfig
+    from pulpo_tpu.data.loader import DataLoader
+    from pulpo_tpu.data.synthetic import SyntheticDataset
+    from pulpo_tpu.train.loop import Trainer
+
+    cfg = PULPoConfig(input_size=(12, 14, 16), total_levels=3, latent_levels=2,
+                      n0=2, batch_size=8, dataset="synthetic", data_parallel=8,
+                      max_epochs=3, val_check_interval=1.0)
+    ds = SyntheticDataset(shape=cfg.input_size, n=8, seed=0)
+    train_dl = DataLoader(ds, batch_size=8, shuffle=True, seed=0)
+    val_dl = DataLoader(ds, batch_size=8, shuffle=False, seed=1)
+    trainer = Trainer(cfg, run_dir=str(tmp_path), experiment="dp")
+    state = trainer.fit(train_dl, val_dl, max_steps=2)
+    assert int(state.step) == 2
