@@ -96,7 +96,7 @@ class Trainer:
 
         steps_per_epoch = len(train_loader)
         val_every = max(1, int(steps_per_epoch * cfg.val_check_interval))
-        step = 0
+        step = int(jax.device_get(state.step))  # nonzero after resume
         t_start = time.time()
         pending = None  # (step, metrics) fetched one step late to avoid sync
 
@@ -150,6 +150,11 @@ class Trainer:
         for group in ("levels/kl", "levels/recon", "levels/reg"):
             self.writer.scalars({str(l): v for l, v in m[group].items()},
                                 step, prefix=f"train_{group}/")
+        # per-level posterior moment means (models.py:182-186)
+        for group in ("levels/mean_posterior_mu", "levels/mean_posterior_sigma"):
+            if group in m:
+                self.writer.scalars({str(l): v for l, v in m[group].items()},
+                                    step, prefix=f"train_distribution_{group}/")
 
     def _validate(self, eval_step, state, val_loader, step: int) -> dict:
         cfg = self.cfg
@@ -177,5 +182,9 @@ class Trainer:
             self.writer.log_validation_images(
                 "val", np.asarray(last_batch["x"]), np.asarray(last_batch["y"]),
                 imgs["y_pred"], imgs["final_df"], step,
+            )
+            self.writer.log_level_images(
+                "val_levels", imgs["levels/y_hat"],
+                imgs["levels/individual_dfs"], imgs["levels/final_dfs"], step,
             )
         return val_metrics

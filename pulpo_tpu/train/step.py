@@ -157,10 +157,14 @@ def make_eval_step(model: PULPoModel):
         total, metrics = compute_losses(
             cfg, outs, batch["x"], batch["y"], batch.get("seg_x"), batch.get("seg_y")
         )
-        # level-0 outputs for periodic image logging (models.py:258-308)
+        # outputs for periodic image logging (models.py:258-308):
+        # main panel (level 0) + per-level recon / individual / final dfs
         metrics_imgs = {
             "y_pred": outs[7][0],
             "final_df": outs[6][0],
+            "levels/y_hat": outs[7],
+            "levels/individual_dfs": outs[4],
+            "levels/final_dfs": outs[6],
         }
         return metrics, metrics_imgs
 

@@ -118,3 +118,20 @@ def test_bf16_compute_dtype():
     assert np.isfinite(float(metrics["total_loss"]))
     # params stay f32
     assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
+
+
+def test_trainer_resume(tmp_path):
+    from pulpo_tpu.train.loop import Trainer
+
+    cfg = tiny_cfg(max_epochs=10, val_check_interval=1.0, log_every_n_steps=1)
+    ds = SyntheticDataset(shape=cfg.input_size, n=4, seed=0)
+    train_dl = DataLoader(ds, batch_size=2, shuffle=True, seed=0)
+    val_dl = DataLoader(ds, batch_size=2, shuffle=False, seed=1)
+    t1 = Trainer(cfg, run_dir=str(tmp_path), experiment="r")
+    s1 = t1.fit(train_dl, val_dl, max_steps=2)
+
+    t2 = Trainer(cfg, run_dir=str(tmp_path), experiment="r")
+    # resume reads t1's run dir checkpoints
+    t2.ckpt = t1.ckpt
+    s2 = t2.fit(train_dl, val_dl, max_steps=4, resume=True)
+    assert int(s2.step) == 4  # continued from step 2
