@@ -46,12 +46,14 @@ class DownPath(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray, train: bool = True) -> LevelDict:
         cfg = self.cfg
+        # static_argnums count self: (self, x, train) -> train is 2
+        seq_cls = nn.remat(ConvSequence, static_argnums=(2,)) if cfg.remat else ConvSequence
         h = jnp.concatenate([x, y], axis=-1)
         acts: LevelDict = {}
         for k in range(cfg.total_levels):
             if k > 0:
                 h = avg_pool_ceil(h)
-            h = ConvSequence(
+            h = seq_cls(
                 cfg.num_channels[k], depth=3, dtype=self.dtype,
                 bn_axis_name=self.bn_axis_name, name=f"down_block_{k}",
             )(h, train)
@@ -128,12 +130,15 @@ class Autoencoder(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        # (self, down_act, feedback, train) / (self, z, img, combined, train)
+        enc_cls = nn.remat(PULPoEncoder, static_argnums=(3,)) if cfg.remat else PULPoEncoder
+        dec_cls = nn.remat(SVFDecoder, static_argnums=(4,)) if cfg.remat else SVFDecoder
         self.encoders = {
-            str(l): PULPoEncoder(cfg, l, self.dtype, self.bn_axis_name, name=f"encoder_{l}")
+            str(l): enc_cls(cfg, l, self.dtype, self.bn_axis_name, name=f"encoder_{l}")
             for l in range(cfg.latent_levels)
         }
         self.decoders = {
-            str(l): SVFDecoder(cfg, l, self.dtype, self.bn_axis_name, name=f"decoder_{l}")
+            str(l): dec_cls(cfg, l, self.dtype, self.bn_axis_name, name=f"decoder_{l}")
             for l in range(cfg.latent_levels)
         }
         # feedback merge blocks exist for global levels lk_offset..total-2,
@@ -194,7 +199,7 @@ class Autoencoder(nn.Module):
         for l in reversed(range(cfg.latent_levels)):
             k = l + cfg.lk_offset
             if l == cfg.latent_levels - 1:
-                mus[l], sigmas[l] = self.encoders[str(l)](down_activations[k], train=train)
+                mus[l], sigmas[l] = self.encoders[str(l)](down_activations[k], None, train)
                 parent_combined = None
             else:
                 down_size = down_activations[k].shape[1:-1]
@@ -205,7 +210,7 @@ class Autoencoder(nn.Module):
                 fb = jnp.concatenate(fb, axis=-1)
                 fb = self.up_blocks[str(l)](fb, train=train)
                 mus[l], sigmas[l] = self.encoders[str(l)](
-                    down_activations[k], feedback=fb, train=train
+                    down_activations[k], fb, train
                 )
                 parent_combined = combined_dfs[l + 1]
 
@@ -225,7 +230,7 @@ class Autoencoder(nn.Module):
                 combined_dfs[l],
                 final_dfs[l],
                 transformed[l],
-            ) = self.decoders[str(l)](z, level_x[l], parent_combined, train=train)
+            ) = self.decoders[str(l)](z, level_x[l], parent_combined, train)
 
         return (
             mus, sigmas, samples, velocity_fields,

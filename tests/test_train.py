@@ -135,3 +135,12 @@ def test_trainer_resume(tmp_path):
     t2.ckpt = t1.ckpt
     s2 = t2.fit(train_dl, val_dl, max_steps=4, resume=True)
     assert int(s2.step) == 4  # continued from step 2
+
+
+def test_remat_train_step():
+    cfg = tiny_cfg(remat=True)
+    model = PULPoModel(cfg)
+    state, tx = create_train_state(model, seed=0)
+    step = jax.jit(make_train_step(model, tx))
+    _, metrics = step(state, make_batch(cfg))
+    assert np.isfinite(float(metrics["total_loss"]))
