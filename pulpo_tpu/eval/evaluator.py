@@ -100,6 +100,13 @@ class Evaluate:
                                           ndims=ndims, path=path)
             self.loaders = list(loaders)
             self.loader_names = ["train", "val", "test"]
+        elif task == "lungct":
+            from pulpo_tpu.data.lungct import create_data_loaders
+
+            loaders = create_data_loaders(1, segs=segs, lms=lms, mask=mask,
+                                          ndims=ndims, path=path)
+            self.loaders = list(loaders)
+            self.loader_names = ["train", "val", "test"]
         elif task == "synthetic":
             from pulpo_tpu.data.loader import DataLoader
             from pulpo_tpu.data.synthetic import SyntheticDataset

@@ -88,6 +88,14 @@ def main(args=None):
             path=args.data_path, seed=args.random_seed)
         train_loader, val_loader = loaders[0], loaders[1]
         input_size = train_loader.dataset.input_size
+    elif args.dataset == "lungct":
+        from pulpo_tpu.data import lungct
+
+        loaders = lungct.create_data_loaders(
+            args.batch_size, segs=False, lms=args.lms, mask=args.mask,
+            ndims=args.ndims, path=args.data_path, seed=args.random_seed)
+        train_loader, val_loader = loaders[0], loaders[1]
+        input_size = train_loader.dataset.input_size
     elif args.dataset == "synthetic":
         from pulpo_tpu.data.loader import DataLoader
         from pulpo_tpu.data.synthetic import SyntheticDataset

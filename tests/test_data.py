@@ -52,3 +52,32 @@ def test_loader_epoch_reshuffles(tmp_path):
     e1 = next(iter(dl))["x"]
     e2 = next(iter(dl))["x"]
     assert not np.array_equal(e1, e2)  # epoch-dependent order/partners
+
+
+def test_lungct_reader(tmp_path):
+    import h5py
+
+    # build a LungCT.h5 fixture directly (converter needs nibabel)
+    rng = np.random.default_rng(0)
+    path = tmp_path / "LungCT.h5"
+    with h5py.File(path, "w") as f:
+        f.attrs["shape"] = np.asarray([8, 10, 12])
+        for split, n in (("training", 3), ("validation", 2), ("test", 2)):
+            g = f.create_group(split)
+            g.attrs["N"] = n
+            for side in ("inhale", "exhale"):
+                gg = g.create_group(side)
+                gi = gg.create_group("image")
+                gl = gg.create_group("landmarks")
+                for i in range(n):
+                    gi.create_dataset(str(i), data=rng.random((8, 10, 12), np.float32))
+                    if split == "test":
+                        gl.create_dataset(str(i), data=rng.random((4, 3), np.float32))
+
+    from pulpo_tpu.data.lungct import create_data_loaders
+
+    train, val, test = create_data_loaders(1, lms=True, path=path)
+    item = next(iter(test))
+    assert item["x"].shape == (1, 8, 10, 12, 1)
+    assert item["lm_x"].shape == (1, 4, 3)
+    assert len(train) == 3
