@@ -61,9 +61,9 @@ def main():
     # stays key-parameterized only (fast to re-compile / cache-friendly);
     # the mixer is a trivial second jit.
     @jax.jit
-    def mix_key(i, prev_scalar):
+    def mix_key(base, i, prev_scalar):
         salt = jnp.abs(prev_scalar * 1e6).astype(jnp.int32)
-        return jax.random.fold_in(jax.random.fold_in(rng, i), salt)
+        return jax.random.fold_in(jax.random.fold_in(base, i), salt)
 
     # warmup / compile
     out = run(rng)
@@ -73,7 +73,7 @@ def main():
     t0 = time.perf_counter()
     prev = out[1].mean()
     for i in range(iters):
-        out = run(mix_key(i, prev))
+        out = run(mix_key(rng, i, prev))
         prev = out[1].mean()
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0

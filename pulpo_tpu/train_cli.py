@@ -24,6 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Main trainer file for all models.")
     p.add_argument("--random_seed", type=int, default=0)
     p.add_argument("--max_epochs", type=int, default=1000)
+    p.add_argument("--accelerator", type=str, default="tpu",
+                   help="accepted for reference-CLI compatibility; the "
+                        "jax platform is chosen by the environment")
     p.add_argument("--dataset", type=str, default="brats",
                    help="brats, oasis or synthetic")
     p.add_argument("--segs", action="store_true", default=False)

@@ -117,3 +117,35 @@ def test_checkpoint_under_sharding(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.tree.leaves(restored.params)[0]),
         np.asarray(jax.tree.leaves(state.params)[0]))
+
+
+def test_spatial_sharding_matches_unsharded():
+    """Depth-sharded forward (XLA halo exchange) == single-device forward."""
+    from pulpo_tpu.parallel.spatial import (
+        make_2d_mesh, make_spatial_forward, volume_batch_spec, replicated)
+
+    cfg = PULPoConfig(input_size=(16, 14, 16), total_levels=3, latent_levels=2,
+                      n0=2, dataset="synthetic")
+    model = PULPoModel(cfg)
+    variables = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, *cfg.input_size, 1), dtype=np.float32))
+    y = jnp.asarray(rng.random((2, *cfg.input_size, 1), dtype=np.float32))
+
+    ref_df, ref_out = jax.jit(
+        lambda v, a, b: (
+            model.module.apply(v, a, b, deterministic=True, train=False)[6][0],
+            model.module.apply(v, a, b, deterministic=True, train=False)[7][0],
+        ))(variables, x, y)
+
+    mesh = make_2d_mesh(data=2, space=4)
+    fwd = make_spatial_forward(model, mesh)
+    xs = jax.device_put(x, volume_batch_spec(mesh))
+    ys = jax.device_put(y, volume_batch_spec(mesh))
+    vs = jax.device_put(variables, replicated(mesh))
+    df, out = fwd(vs, xs, ys, jax.random.key(1))
+
+    np.testing.assert_allclose(np.asarray(df), np.asarray(ref_df),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-4, atol=1e-5)
