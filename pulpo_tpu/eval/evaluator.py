@@ -300,9 +300,8 @@ class Evaluate:
                 x, y = jnp.asarray(batch["x"]), jnp.asarray(batch["y"])
                 res = predict_with_uncertainty(
                     model, variables, x, y, num_samples, self._next_rng())
-                all_moved = np.asarray(res.outputs[0][0])  # (N, *sp, C)
                 moved_std = np.asarray(res.output_std[0][0])  # (*sp,)
-                mse = np.mean((all_moved - np.asarray(y[0])) ** 2, axis=0)[..., 0]
+                mse = np.asarray(res.output_mse[0][0])  # streamed over N
                 var = moved_std**2
                 all_metrics[0, k, j] = var.mean()
                 all_metrics[1, k, j] = M.global_ncc(var, mse)

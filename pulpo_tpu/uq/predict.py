@@ -2,9 +2,13 @@
 
 TPU-native replacement for the reference's host-driven N-sample loop
 (`Evaluate.predict` with N>1, evaluate.py:205-280): the N posterior
-draws run as one vmapped program on-chip — per-sample decode, per-sample
-SVF composition + integration, and the std reductions all fused into a
-single jitted call.
+draws run as one jitted program — per-sample decode, per-sample SVF
+composition + integration, and the std reductions fused on-chip.
+
+Memory design: samples are processed in chunks (vmap of size `chunk`
+inside a lax.scan); the statistics are **streamed** as sum/sumsq
+accumulators, so no (N, full-res) buffer ever materializes. Per-sample
+outputs are retained only for the first chunk (figure sample grids).
 
 Semantics follow the reference's (correct) batched 2D path
 (evaluate.py:253-277), applied to 3D:
@@ -12,17 +16,18 @@ Semantics follow the reference's (correct) batched 2D path
 - mean prediction = integrate the *mean SVF* (average of the N
   individual dfs), then re-warp the moving image (evaluate.py:266-273).
   (The reference's 3D loop at evaluate.py:238 accidentally averages only
-  the *last* draw — `individual_dfs[key].mean(dim=0)` on a size-1 batch
-  — a bug we do not replicate.)
-- per-level std maps over the N samples, channel-averaged:
-  `mean(std(all_X, axis=samples), axis=channel)`
-  (evaluate.py:243,275-277) with Bessel-corrected std (torch default).
+  the *last* draw — a bug we do not replicate; see DIVERGENCES.md.)
+- per-level std maps over the N samples, channel-averaged, with
+  Bessel-corrected std (torch default): evaluate.py:243,275-277.
 - per-sample final dfs come from per-sample combine+integrate
-  (evaluate.py:268), so `final_df_std` reflects integration, not just
-  SVF spread.
-- with a mask, only `final_df_std` is masked: the full-res mask is
-  warped by the *mean* final df at each level and multiplied in before
-  the std (evaluate.py:244-248).
+  (evaluate.py:268), so `final_df_std` reflects integration.
+- with a mask, only `final_df_std` is masked: the full-res mask warped
+  by the *mean* final df, multiplied in before the std
+  (evaluate.py:244-248). The mask is constant across samples, so
+  std(mask * v) == mask * std(v) and it composes with streaming.
+- `output_mse` (mean over samples of (moved - y)^2, channel-dropped) is
+  also streamed for the variance-error calibration metric
+  (evaluate.py:1538).
 """
 
 from __future__ import annotations
@@ -44,22 +49,48 @@ class UQResult(NamedTuple):
     mean_outputs: LevelDict       # mean-SVF re-warped prediction (B, *, C)
     avg_dfs: LevelDict            # mean individual df per level
     final_dfs: LevelDict          # final df of the mean SVF per level
-    outputs: LevelDict            # per-sample warped outputs (B, N, *, C)
+    outputs: LevelDict            # sample outputs, first chunk only (B, n, *, C)
     output_std: LevelDict         # (B, *spatial) channel-averaged
     individual_df_std: LevelDict  # (B, *spatial)
     final_df_std: LevelDict       # (B, *spatial)
+    output_mse: LevelDict         # (B, *spatial) mean_N (moved - y)^2
 
 
-def _std_map(x: jnp.ndarray) -> jnp.ndarray:
-    """std over the leading sample axis, then mean over channels.
+def _chunk_moments(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(chunk, B, *spatial, C) -> per-voxel (mean, M2) over the chunk."""
+    v = v.astype(jnp.float32)
+    mean = v.mean(0)
+    m2 = ((v - mean[None]) ** 2).sum(0)
+    return mean, m2
 
-    x: (N, B, *spatial, C) -> (B, *spatial)."""
-    return jnp.mean(jnp.std(x, axis=0, ddof=1), axis=-1)
+
+def _combine_moments(a, b, n_a: int, n_b: int):
+    """Chan et al. parallel variance combination (numerically stable
+    vs naive sum/sumsq, whose cancellation error is sigma^2/mu^2-
+    conditioned)."""
+    mean_a, m2_a = a
+    mean_b, m2_b = b
+    n = n_a + n_b
+    delta = mean_b - mean_a
+    mean = mean_a + delta * (n_b / n)
+    m2 = m2_a + m2_b + delta * delta * (n_a * n_b / n)
+    return mean, m2
+
+
+def _finalize_std(moments, n: int) -> jnp.ndarray:
+    """Bessel std from streamed (mean, M2), then channel mean."""
+    _, m2 = moments
+    return jnp.mean(jnp.sqrt(jnp.maximum(m2 / (n - 1), 0.0)), axis=-1)
 
 
 def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
              chunk: int | None = None):
     cfg = model.cfg
+    if chunk is None or chunk > N:
+        chunk = N
+    assert N % chunk == 0, f"N={N} not divisible by chunk={chunk}"
+    n_chunks = N // chunk
+
     acts = model.module.apply(variables, x, y, train=False, method=PULPoModule.encode)
 
     def decode_one(key):
@@ -69,43 +100,72 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
         )
         return outs[4], outs[6], outs[7]  # individual, final, transformed
 
-    keys = jax.random.split(rng, N)
-    if chunk is None or chunk >= N:
-        ind_dfs, final_dfs_s, outputs_s = jax.vmap(decode_one)(keys)  # (N, B, ...)
-    else:
-        # bounded-memory sampling: serialize chunks of a vmapped decode
-        assert N % chunk == 0, f"N={N} not divisible by chunk={chunk}"
-        keys2 = keys.reshape(N // chunk, chunk)
-        chunked = jax.lax.map(lambda ks: jax.vmap(decode_one)(ks), keys2)
-        merge = lambda d: {
-            l: v.reshape(N, *v.shape[2:]) for l, v in d.items()
-        }
-        ind_dfs, final_dfs_s, outputs_s = (merge(d) for d in chunked)
+    keys = jax.random.split(rng, N).reshape(n_chunks, chunk)
 
-    # mean-SVF combine + integrate + re-warp
-    avg_dfs = {l: v.mean(axis=0) for l, v in ind_dfs.items()}
+    def chunk_stats(ks):
+        ind, fin, out = jax.vmap(decode_one)(ks)  # (chunk, B, ...)
+        stats = {}
+        for name, d in (("ind", ind), ("fin", fin), ("out", out)):
+            stats[name] = {l: _chunk_moments(v) for l, v in d.items()}
+        # calibration mse only uses the level-0 (full-res) outputs
+        # (evaluate.py:1534-1538); other levels have level-res shapes
+        stats["mse"] = {
+            0: ((out[0].astype(jnp.float32) - y[None].astype(jnp.float32)) ** 2)
+            .sum(0)[..., 0]
+        }
+        return stats, out
+
+    def merge_stats(carry, s, n_carry):
+        merged = {}
+        for name in ("ind", "fin", "out"):
+            merged[name] = {
+                l: _combine_moments(carry[name][l], s[name][l], n_carry, chunk)
+                for l in carry[name]
+            }
+        merged["mse"] = {l: carry["mse"][l] + s["mse"][l] for l in carry["mse"]}
+        return merged
+
+    # first chunk also returns its per-sample outputs (for sample grids)
+    stats0, first_outputs = chunk_stats(keys[0])
+    if n_chunks > 1:
+        # lax.scan serializes chunks (bounds live memory); the sample
+        # count so far rides in the carry for the moment combination
+        def body(carry, ks):
+            stats_c, n_c = carry
+            s, _ = chunk_stats(ks)
+            return (merge_stats(stats_c, s, n_c), n_c + chunk), None
+
+        (stats, _), _ = jax.lax.scan(
+            body, (stats0, jnp.float32(chunk)), keys[1:])
+    else:
+        stats = stats0
+
+    # mean-SVF combine + integrate + re-warp (streamed mean == avg df)
+    avg_dfs = {l: m[0] for l, m in stats["ind"].items()}
     _, mean_final = combine_dfs(cfg, avg_dfs)
     mean_outputs = {l: warp_image(x, mean_final[l]) for l in mean_final}
 
-    output_std = {l: _std_map(v) for l, v in outputs_s.items()}
-    individual_df_std = {l: _std_map(v) for l, v in ind_dfs.items()}
+    output_std = {l: _finalize_std(m, N) for l, m in stats["out"].items()}
+    individual_df_std = {l: _finalize_std(m, N) for l, m in stats["ind"].items()}
+    final_df_std = {l: _finalize_std(m, N) for l, m in stats["fin"].items()}
     if mask is not None:
-        final_df_std = {}
-        for l, v in final_dfs_s.items():
-            wm = warp_image(mask, mean_final[l])  # (B, *lvl_spatial, 1)
-            final_df_std[l] = _std_map(v * wm[None])
-    else:
-        final_df_std = {l: _std_map(v) for l, v in final_dfs_s.items()}
+        # mask constant across samples: std(mask*v) == mask*std(v)
+        for l in final_df_std:
+            wm = warp_image(mask, mean_final[l])[..., 0]
+            final_df_std[l] = final_df_std[l] * jnp.abs(wm)
+
+    output_mse = {l: stats["mse"][l] / N for l in stats["mse"]}
 
     swap = lambda d: {l: jnp.swapaxes(v, 0, 1) for l, v in d.items()}
     return UQResult(
         mean_outputs=mean_outputs,
         avg_dfs=avg_dfs,
         final_dfs=mean_final,
-        outputs=swap(outputs_s),
+        outputs=swap(first_outputs),
         output_std=output_std,
         individual_df_std=individual_df_std,
         final_df_std=final_df_std,
+        output_mse=output_mse,
     )
 
 
@@ -122,8 +182,9 @@ def predict_with_uncertainty(
 ) -> UQResult:
     """Single fused on-chip program for N-sample UQ prediction.
 
-    `chunk` bounds peak memory by serializing the vmapped decode in
-    groups of `chunk` samples (lax.map over N//chunk vmap(chunk) calls).
+    `chunk` bounds peak memory: samples stream through a scanned
+    vmap(chunk) with sum/sumsq std accumulators; `outputs` holds only
+    the first chunk's per-sample warps.
     """
     if mask is not None:
         return _jitted_uq(model, N, True, chunk)(variables, x, y, rng, mask)
