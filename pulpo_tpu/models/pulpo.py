@@ -203,11 +203,27 @@ class Autoencoder(nn.Module):
                 parent_combined = None
             else:
                 down_size = down_activations[k].shape[1:-1]
-                fb = [
-                    resize_linear(tensors[item][l + 1], down_size)
-                    for item in cfg.feedback
+                # Concat consecutive same-size feedback tensors BEFORE
+                # resizing: one wide interpolation instead of six
+                # 3-channel ones (XLA picks catastrophic 42x-padded
+                # layouts for the narrow per-tensor copies). Run-length
+                # grouping preserves the reference's channel order
+                # (pulpo.py:195-206) for weight-ported parity.
+                runs: list[list] = []
+                for item in cfg.feedback:
+                    t = tensors[item][l + 1]
+                    if runs and runs[-1][0].shape[1:-1] == t.shape[1:-1]:
+                        runs[-1].append(t)
+                    else:
+                        runs.append([t])
+                resized = [
+                    resize_linear(
+                        ts[0] if len(ts) == 1 else jnp.concatenate(ts, axis=-1),
+                        down_size,
+                    )
+                    for ts in runs
                 ]
-                fb = jnp.concatenate(fb, axis=-1)
+                fb = resized[0] if len(resized) == 1 else jnp.concatenate(resized, axis=-1)
                 fb = self.up_blocks[str(l)](fb, train=train)
                 mus[l], sigmas[l] = self.encoders[str(l)](
                     down_activations[k], fb, train
