@@ -48,7 +48,7 @@ def main():
     x = jax.random.uniform(kx, (1, *cfg.input_size, 1), jnp.float32)
     y = jax.random.uniform(ky, (1, *cfg.input_size, 1), jnp.float32)
 
-    chunk = int(os.environ.get("PULPO_BENCH_CHUNK", "8"))
+    chunk = int(os.environ.get("PULPO_BENCH_CHUNK", "16"))
     rng = jax.random.key(2)
 
     def run(r):

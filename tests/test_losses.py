@@ -147,3 +147,13 @@ def test_weight_dicts_match_reference_formulas():
     assert cfg.regularization_weight_dict == {0: 1.0 / 8.0, 1: 8.0, 2: 64.0, 3: 512.0}
     assert cfg.level_sizes == {
         0: (80, 96, 112), 1: (40, 48, 56), 2: (20, 24, 28), 3: (10, 12, 14)}
+
+
+def test_similarity_pyramid_weights():
+    """similarity_pyramid divides each level weight by 2**l
+    (losses.py:238-240, applied in all three hierarchical wrappers)."""
+    cfg = PULPoConfig(input_size=(160, 192, 224), similarity_pyramid=True)
+    base = PULPoConfig(input_size=(160, 192, 224))
+    for l in range(cfg.latent_levels):
+        assert cfg.kl_weight_dict[l] == base.kl_weight_dict[l] / 2**l
+        assert cfg.recon_weight_dict[l] == base.recon_weight_dict[l] / 2**l
