@@ -7,6 +7,14 @@ SVF integration + std maps + mean-SVF re-warp, all on-chip).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N/20}
+
+Env knobs:
+  PULPO_BENCH_BATCH  pairs per program invocation (default from
+                     PULPO_BENCH_DEFAULTS tuning; throughput = B*iters/dt)
+  PULPO_BENCH_CHUNK  posterior-sample chunk (default: tuned / auto)
+  PULPO_BENCH_MODE   "uq" (default) | "train" (full-res train-step
+                     throughput, BASELINE config 2; prints steps/s)
+  PULPO_BENCH_ITERS, PULPO_BENCH_DTYPE, PULPO_BENCH_SMALL
 """
 
 from __future__ import annotations
@@ -20,35 +28,37 @@ BASELINE_PAIRS_PER_SEC = 20.0
 N_SAMPLES = 32
 
 
-def main():
-    import jax
+def _make_model(input_size, batch_size: int = 1):
     import jax.numpy as jnp
 
     from pulpo_tpu.config import PULPoConfig
     from pulpo_tpu.models.api import PULPoModel
-    from pulpo_tpu.uq.predict import predict_with_uncertainty
-
-    input_size = (160, 192, 224)
-    if os.environ.get("PULPO_BENCH_SMALL"):  # quick CI / CPU sanity mode
-        input_size = (32, 32, 32)
 
     cfg = PULPoConfig(
         input_size=input_size,
         total_levels=5,
         latent_levels=4,
         n0=32,
+        batch_size=batch_size,
         compute_dtype=os.environ.get("PULPO_BENCH_DTYPE", "bfloat16"),
         dataset="oasis",
     )
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-    model = PULPoModel(cfg, dtype=dtype)
+    return cfg, PULPoModel(cfg, dtype=dtype)
+
+
+def bench_uq(input_size, batch: int, chunk: int | None, iters: int):
+    import jax
+    import jax.numpy as jnp
+
+    from pulpo_tpu.uq.predict import predict_with_uncertainty
+
+    cfg, model = _make_model(input_size)
     variables = model.init(jax.random.key(0))
 
     kx, ky = jax.random.split(jax.random.key(1))
-    x = jax.random.uniform(kx, (1, *cfg.input_size, 1), jnp.float32)
-    y = jax.random.uniform(ky, (1, *cfg.input_size, 1), jnp.float32)
-
-    chunk = int(os.environ.get("PULPO_BENCH_CHUNK", "16"))
+    x = jax.random.uniform(kx, (batch, *cfg.input_size, 1), jnp.float32)
+    y = jax.random.uniform(ky, (batch, *cfg.input_size, 1), jnp.float32)
     rng = jax.random.key(2)
 
     def run(r):
@@ -65,11 +75,9 @@ def main():
         salt = jnp.abs(prev_scalar * 1e6).astype(jnp.int32)
         return jax.random.fold_in(jax.random.fold_in(base, i), salt)
 
-    # warmup / compile
-    out = run(rng)
+    out = run(rng)  # warmup / compile
     jax.block_until_ready(out)
 
-    iters = int(os.environ.get("PULPO_BENCH_ITERS", "5"))
     t0 = time.perf_counter()
     prev = out[1].mean()
     for i in range(iters):
@@ -77,14 +85,67 @@ def main():
         prev = out[1].mean()
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    return iters * batch / dt
 
-    pairs_per_sec = iters / dt
-    result = {
-        "metric": f"oasis_fullres_uq{N_SAMPLES}_pairs_per_sec",
-        "value": round(pairs_per_sec, 4),
-        "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 4),
+
+def bench_train(input_size, batch: int, iters: int):
+    """Train-step throughput (BASELINE milestone config 2: OASIS
+    full-res single-chip training, NCC + hierarchical KL)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pulpo_tpu.train.step import create_train_state, make_train_step
+
+    cfg, model = _make_model(input_size, batch_size=batch)
+    state, tx = create_train_state(model, seed=0)
+    step = jax.jit(make_train_step(model, tx), donate_argnums=0)
+
+    kx, ky = jax.random.split(jax.random.key(1))
+    batch_data = {
+        "x": jax.random.uniform(kx, (batch, *cfg.input_size, 1), jnp.float32),
+        "y": jax.random.uniform(ky, (batch, *cfg.input_size, 1), jnp.float32),
     }
+    state, metrics = step(state, batch_data)  # compile
+    jax.block_until_ready(metrics["total_loss"])
+
+    # steps chain through the donated state: no overlap/caching possible
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch_data)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+    return iters * batch / dt
+
+
+def main():
+    input_size = (160, 192, 224)
+    small = bool(os.environ.get("PULPO_BENCH_SMALL"))
+    if small:  # quick CI / CPU sanity mode
+        input_size = (32, 32, 32)
+
+    mode = os.environ.get("PULPO_BENCH_MODE", "uq")
+    batch = int(os.environ.get("PULPO_BENCH_BATCH", "1"))
+    iters = int(os.environ.get("PULPO_BENCH_ITERS", "5"))
+
+    if mode == "train":
+        sps = bench_train(input_size, batch, iters)
+        result = {
+            "metric": "oasis_fullres_train_pairs_per_sec",
+            "value": round(sps, 4),
+            "unit": "pairs/s",
+            "vs_baseline": None,
+        }
+    else:
+        chunk_env = os.environ.get("PULPO_BENCH_CHUNK", "")
+        chunk = int(chunk_env) if chunk_env else (None if small else max(1, 16 // batch))
+        pps = bench_uq(input_size, batch, chunk, iters)
+        result = {
+            "metric": f"oasis_fullres_uq{N_SAMPLES}_pairs_per_sec",
+            "value": round(pps, 4),
+            "unit": "pairs/s",
+            "vs_baseline": round(pps / BASELINE_PAIRS_PER_SEC, 4),
+        }
     print(json.dumps(result))
     return result
 

@@ -143,10 +143,29 @@ class Evaluate:
         return sub
 
     # ------------------------------------------------------------------
+    # Artifact injection (robustness/UQ experiments)
+    # ------------------------------------------------------------------
+
+    def _artifact_box(self, spatial):
+        """The reference's fixed ROI x=(100,130) y=(100,130) z=(120,150)
+        (evaluate.py:1188, 1255, 1333, 1421, 1500). For volumes too small
+        to contain it we fall back to a fractional box (0.45..0.65 per
+        axis) so the experiments run on any input size (DIVERGENCES.md)."""
+        fixed = [(100, 130), (100, 130), (120, 150)][: len(spatial)]
+        if all(hi <= s for (_, hi), s in zip(fixed, spatial)):
+            return tuple(fixed)
+        return tuple((int(s * 0.45), int(s * 0.65)) for s in spatial)
+
+    def _inject_artifact(self, x, method: str):
+        box = self._artifact_box(tuple(np.asarray(x).shape[1:-1]))
+        return jnp.asarray(artifact_fn(np.asarray(x), method, *box))
+
+    # ------------------------------------------------------------------
     # Prediction (evaluate.py:179-280 schema)
     # ------------------------------------------------------------------
 
-    def predict(self, batch, num_samples=20, deterministic=False):
+    def predict(self, batch, num_samples=20, deterministic=False,
+                keep_samples=True):
         """Returns (preds, all_preds) in the reference tuple schema:
 
         preds = [y_pred, df_pred, seg_pred, outputs, individual_dfs,
@@ -154,6 +173,11 @@ class Evaluate:
         all_preds = [] for N==1, else [output_std, individual_df_std,
                  final_df_std, all_outputs, all_individual_dfs,
                  all_combined_dfs, all_final_dfs, all_warped_seg]
+
+        `keep_samples=True` (default, matching the reference's retention
+        at evaluate.py:220-235) keeps all N per-sample outputs/dfs; set
+        False to stream statistics only (all_preds[4..6] become None) —
+        the memory-bounded mode for large N at full resolution.
         """
         model, variables = self.model, self.variables
         x, y = jnp.asarray(batch["x"]), jnp.asarray(batch["y"])
@@ -185,19 +209,43 @@ class Evaluate:
         name = f"avg_prediction_over_{num_samples}_samples"
         mask = jnp.asarray(batch["mask_x"]) if (self.mask and batch.get("mask_x") is not None) else None
         res = predict_with_uncertainty(
-            model, variables, x, y, num_samples, self._next_rng(), mask=mask)
+            model, variables, x, y, num_samples, self._next_rng(), mask=mask,
+            keep_samples=keep_samples)
         combined_dfs, final_dfs = model.combine_dfs(res.avg_dfs)
         if self.segs and seg_x is not None:
             warped_seg = {l: warp_image(jnp.asarray(seg_x), final_dfs[l]) for l in final_dfs}
         else:
             warped_seg = {0: np.empty((0,), np.float32)}
-        # sample axis first like the reference's all_* buffers (N, ...)
-        unswap = lambda d: {l: jnp.swapaxes(v, 0, 1)[:, 0] for l, v in d.items()}
-        all_outputs = unswap(res.outputs)
         preds = [res.mean_outputs[0], final_dfs[0], warped_seg[0], res.mean_outputs,
                  res.avg_dfs, combined_dfs, final_dfs, warped_seg, name]
+        # all_* buffers are sample-first with B squeezed, matching the
+        # reference's (N, ...) layout (evaluate.py:220-235)
+        squeeze_b = lambda d: (
+            None if d is None else {l: v[:, 0] for l, v in d.items()})
+        if keep_samples:
+            all_outputs = squeeze_b(res.sample_outputs)
+            all_individual = squeeze_b(res.sample_individual_dfs)
+            all_combined = squeeze_b(res.sample_combined_dfs)
+            all_final = squeeze_b(res.sample_final_dfs)
+            # per-sample warped segs: the reference only computes these
+            # on the batched 2D path (evaluate.py:271); in 3D it returns
+            # an empty dict for memory reasons (evaluate.py:209-211)
+            if self.segs and seg_x is not None and x.ndim == 4:  # 2D
+                seg_rep = jnp.repeat(jnp.asarray(seg_x), num_samples, axis=0)
+                all_warped_seg = {
+                    l: warp_image(seg_rep, res.sample_final_dfs[l][:, 0])
+                    for l in all_final}
+            else:
+                all_warped_seg = {0: np.empty((0,), np.float32)}
+        else:
+            # first-chunk-only sample outputs (figure sample grids)
+            all_outputs = {l: jnp.swapaxes(v, 0, 1)[:, 0]
+                           for l, v in res.outputs.items()}
+            all_individual = all_combined = all_final = None
+            all_warped_seg = {0: np.empty((0,), np.float32)}
         all_preds = [res.output_std, res.individual_df_std, res.final_df_std,
-                     all_outputs, None, None, None, warped_seg]
+                     all_outputs, all_individual, all_combined, all_final,
+                     all_warped_seg]
         return preds, all_preds
 
     # ------------------------------------------------------------------
@@ -207,8 +255,8 @@ class Evaluate:
     def performance(self, artifact: str = "", save: bool = True) -> pd.DataFrame:
         model, variables = self.model, self.variables
         K = self.latent_levels
-        all_metrics = np.zeros(
-            [self.num_metrics, K, self.num_datasets, self.num_inputs], dtype=float)
+        all_metrics = np.full(
+            [self.num_metrics, K, self.num_datasets, self.num_inputs], np.nan)
 
         unit_w = {l: 1.0 for l in range(K)}
         unit_win = {l: 1 for l in range(K)}
@@ -217,9 +265,7 @@ class Evaluate:
             for j, batch in enumerate(loader):
                 x, y = jnp.asarray(batch["x"]), jnp.asarray(batch["y"])
                 if artifact:
-                    sz = x.shape[1:-1]
-                    box = tuple((int(s * 0.45), int(s * 0.65)) for s in sz)
-                    x = jnp.asarray(artifact_fn(np.asarray(x), artifact, *box))
+                    x = self._inject_artifact(x, artifact)
                 outputs, individual_dfs = model.predict_deterministic(variables, x, y)
                 _, final_dfs = model.combine_dfs(individual_dfs)
 
@@ -269,8 +315,6 @@ class Evaluate:
                             np.asarray(warped), lm_y)
                     col += 2
 
-        # zero entries = absent modality; nanmean ignores them
-        all_metrics[all_metrics == 0] = np.nan
         mean_metrics = np.nanmean(all_metrics, axis=-1)
         data = np.concatenate(mean_metrics.T, axis=1)
         sets = np.repeat(self.loader_names, self.num_metrics)
@@ -278,46 +322,54 @@ class Evaluate:
         mux = pd.MultiIndex.from_arrays((sets, mets))
         df = pd.DataFrame(data, columns=mux, index=range(K)).round(3)
         if save:
-            make_tables(df, self.output_dir / "loss", name="loss_table_deterministic")
+            make_tables(df, self.output_dir / "loss",
+                        name="loss_table_deterministic" + artifact)
         return df
 
     # ------------------------------------------------------------------
     # Uncertainty table (evaluate.py:1500-1576)
     # ------------------------------------------------------------------
 
-    def uncertainty(self, num_samples: int, save: bool = True) -> pd.DataFrame:
+    def uncertainty(self, num_samples: int, artifact: str = "",
+                    save: bool = True) -> pd.DataFrame:
         if num_samples < 2:
             raise ValueError("N has to be at least 2")
         model, variables = self.model, self.variables
         metric_names = ["Var", "NCC"]
         if self.lms:
             metric_names += ["LM_VAR", "LM_NCC"]
-        all_metrics = np.zeros(
-            [len(metric_names), self.num_datasets, self.num_inputs], dtype=float)
+        all_metrics = np.full(
+            [len(metric_names), self.num_datasets, self.num_inputs], np.nan)
 
         for k, loader in enumerate(self.loaders):
             for j, batch in enumerate(loader):
                 x, y = jnp.asarray(batch["x"]), jnp.asarray(batch["y"])
+                if artifact:
+                    x = self._inject_artifact(x, artifact)
+                lm_x, lm_y = batch.get("lm_x"), batch.get("lm_y")
+                has_lms = (self.lms and lm_x is not None and lm_x.size
+                           and lm_y is not None and lm_y.size)
+                # lm threads through the UQ program so the per-sample
+                # landmark warps use the SAME posterior draws as the
+                # Var/NCC maps (the reference couples them via
+                # all_final_dfs, evaluate.py:1547-1556)
                 res = predict_with_uncertainty(
-                    model, variables, x, y, num_samples, self._next_rng())
+                    model, variables, x, y, num_samples, self._next_rng(),
+                    lm=jnp.asarray(lm_x) if has_lms else None)
                 moved_std = np.asarray(res.output_std[0][0])  # (*sp,)
                 mse = np.asarray(res.output_mse[0][0])  # streamed over N
                 var = moved_std**2
                 all_metrics[0, k, j] = var.mean()
                 all_metrics[1, k, j] = M.global_ncc(var, mse)
 
-                lm_x, lm_y = batch.get("lm_x"), batch.get("lm_y")
-                if self.lms and lm_x is not None and lm_x.size and lm_y is not None and lm_y.size:
-                    _, fdfs = model.combine_dfs(res.avg_dfs)
+                if has_lms:
                     lm_hat = np.asarray(
-                        warp_landmarks(jnp.asarray(lm_x), fdfs[0]))
-                    warped_lms = self._per_sample_landmarks(
-                        batch, lm_x, num_samples)
+                        warp_landmarks(jnp.asarray(lm_x), res.final_dfs[0]))
+                    warped_lms = np.asarray(res.sample_landmarks[:, 0])
                     all_metrics[2, k, j] = M.lms_var(warped_lms).mean()
                     all_metrics[3, k, j] = M.lms_corr(
                         lm_hat[0], warped_lms, np.asarray(lm_y)[0])
 
-        all_metrics[all_metrics == 0] = np.nan
         mean_metrics = np.nanmean(all_metrics, axis=-1)
         data = np.concatenate(mean_metrics.T)[None, :]
         sets = np.repeat(self.loader_names, len(metric_names))
@@ -325,37 +377,26 @@ class Evaluate:
         mux = pd.MultiIndex.from_arrays((sets, mets))
         df = pd.DataFrame(data, columns=mux)
         if save:
-            make_tables(df, self.output_dir / "uncertainty", name="loss_table")
+            make_tables(df, self.output_dir / "uncertainty",
+                        name="loss_table" + artifact)
         return df
-
-    def _per_sample_landmarks(self, batch, lm_x, num_samples):
-        """Warp landmarks by each sample's final df (the reference uses
-        all_final_dfs, evaluate.py:1551-1552). Per-sample individual dfs
-        are redrawn (UQResult doesn't retain them to bound memory at
-        large N) and pushed through per-sample combine+integrate."""
-        model = self.model
-        x, y = jnp.asarray(batch["x"]), jnp.asarray(batch["y"])
-        _, ind = model.predict_output_samples(
-            self.variables, x, y, num_samples, self._next_rng())
-        # fold samples into the batch axis: one combine_dfs for all draws
-        ind_flat = {l: v.reshape(-1, *v.shape[2:]) for l, v in ind.items()}
-        _, fdfs = model.combine_dfs(ind_flat)
-        lm_rep = jnp.repeat(jnp.asarray(lm_x), num_samples, axis=0)
-        warped = warp_landmarks(lm_rep, fdfs[0])  # (N, n_lm, nd)
-        return np.asarray(warped)
 
     # ------------------------------------------------------------------
     # Affine (identity) baseline (evaluate.py:1146-1221)
     # ------------------------------------------------------------------
 
-    def performance_affine(self, save: bool = True) -> pd.DataFrame:
+    def performance_affine(self, artifact: str = "",
+                           save: bool = True) -> pd.DataFrame:
         """No-op registration baseline: prediction == moving image
-        (the datasets are affinely pre-aligned)."""
-        all_metrics = np.zeros(
-            [self.num_metrics, self.num_datasets, self.num_inputs], dtype=float)
+        (the datasets are affinely pre-aligned). evaluate.py:1146-1221
+        incl. the artifact hook at :1187-1188."""
+        all_metrics = np.full(
+            [self.num_metrics, self.num_datasets, self.num_inputs], np.nan)
         for k, loader in enumerate(self.loaders):
             for j, batch in enumerate(loader):
                 x, y = np.asarray(batch["x"]), np.asarray(batch["y"])
+                if artifact:
+                    x = np.asarray(self._inject_artifact(x, artifact))
                 all_metrics[0, k, j] = M.rmse(x, y)
                 seg_x, seg_y = batch.get("seg_x"), batch.get("seg_y")
                 if "Dice" in self.metric_names and seg_x is not None:
@@ -367,7 +408,6 @@ class Evaluate:
                         lm_x, lm_y)
                     all_metrics[self.metric_names.index("LM_Euclid"), k, j] = (
                         M.lm_euclid(lm_x, lm_y))
-        all_metrics[all_metrics == 0] = np.nan
         mean_metrics = np.nanmean(all_metrics, axis=-1)
         data = mean_metrics.T
         sets = np.repeat(self.loader_names, self.num_metrics)
@@ -376,7 +416,8 @@ class Evaluate:
             data.reshape(1, -1),
             columns=pd.MultiIndex.from_arrays((sets, mets)))
         if save:
-            make_tables(df, self.output_dir / "loss", name="loss_table_affine")
+            make_tables(df, self.output_dir / "loss",
+                        name="loss_table_affine" + artifact)
         return df
 
     # ------------------------------------------------------------------
@@ -434,16 +475,19 @@ class Evaluate:
         self.output_dir.mkdir(parents=True, exist_ok=True)
         return self.vxm
 
-    def performance_vxm(self, num_samples: int = 1, save: bool = True) -> pd.DataFrame:
+    def performance_vxm(self, num_samples: int = 1, artifact: str = "",
+                        save: bool = True) -> pd.DataFrame:
         """Deterministic (or N-sample-mean) metrics for the baseline:
         RMSE / JDetStd / JDetLeq0 (+ LM metrics) at full res
-        (evaluate.py:1224-1304)."""
+        (evaluate.py:1224-1304 incl. the artifact hook at :1254-1255)."""
         names = ["RMSE", "JDetStd", "JDetLeq0"] + (
             ["LM_MAE", "LM_Euclid"] if self.lms else [])
-        all_metrics = np.zeros([len(names), self.num_datasets, self.num_inputs])
+        all_metrics = np.full([len(names), self.num_datasets, self.num_inputs], np.nan)
         for k, loader in enumerate(self.loaders):
             for j, batch in enumerate(loader):
                 x, y = jnp.asarray(batch["x"]), jnp.asarray(batch["y"])
+                if artifact:
+                    x = self._inject_artifact(x, artifact)
                 if num_samples == 1:
                     moved, df, _ = self.vxm.apply(
                         self.vxm_variables, x, y, deterministic=True)
@@ -459,40 +503,55 @@ class Evaluate:
                     warped = warp_landmarks(jnp.asarray(lm_x), df)
                     all_metrics[3, k, j] = M.lm_mae(np.asarray(warped), lm_y)
                     all_metrics[4, k, j] = M.lm_euclid(np.asarray(warped), lm_y)
-        all_metrics[all_metrics == 0] = np.nan
         mean = np.nanmean(all_metrics, axis=-1)
         sets = np.repeat(self.loader_names, len(names))
         mets = np.tile(names, self.num_datasets)
         df = pd.DataFrame(mean.T.reshape(1, -1),
                           columns=pd.MultiIndex.from_arrays((sets, mets))).round(3)
         if save:
-            make_tables(df, self.output_dir / "loss", name="loss_table_vxm")
+            make_tables(df, self.output_dir / "loss",
+                        name="loss_table_vxm" + artifact)
         return df
 
-    def uncertainty_vxm(self, num_samples: int, save: bool = True) -> pd.DataFrame:
-        """Var + NCC(var, mse) calibration for the baseline
-        (evaluate.py:1306-1377)."""
+    def uncertainty_vxm(self, num_samples: int, artifact: str = "",
+                        save: bool = True) -> pd.DataFrame:
+        """Var + NCC(var, mse) calibration (+ LM_VAR/LM_NCC) for the
+        baseline (evaluate.py:1300-1377 incl. the artifact hook at
+        :1332-1333 and the landmark metrics at :1347-1354)."""
         if num_samples < 2:
             raise ValueError("N has to be at least 2")
-        names = ["Var", "NCC"]
-        all_metrics = np.zeros([len(names), self.num_datasets, self.num_inputs])
+        names = ["Var", "NCC"] + (["LM_VAR", "LM_NCC"] if self.lms else [])
+        all_metrics = np.full([len(names), self.num_datasets, self.num_inputs], np.nan)
         for k, loader in enumerate(self.loaders):
             for j, batch in enumerate(loader):
                 x, y = jnp.asarray(batch["x"]), jnp.asarray(batch["y"])
-                _avg, _df, moved_std, _dstd, all_moved, _ = self.vxm.predict(
+                if artifact:
+                    x = self._inject_artifact(x, artifact)
+                _avg, avg_df, moved_std, _dstd, all_moved, all_dfs = self.vxm.predict(
                     self.vxm_variables, x, y, num_samples, self._next_rng())
                 mse = np.mean((np.asarray(all_moved) - np.asarray(y)) ** 2, axis=0)[0, ..., 0]
                 var = np.asarray(moved_std)[0] ** 2
                 all_metrics[0, k, j] = var.mean()
                 all_metrics[1, k, j] = M.global_ncc(var, mse)
-        all_metrics[all_metrics == 0] = np.nan
+                lm_x, lm_y = batch.get("lm_x"), batch.get("lm_y")
+                if (self.lms and lm_x is not None and lm_x.size
+                        and lm_y is not None and lm_y.size):
+                    lm_hat = np.asarray(
+                        warp_landmarks(jnp.asarray(lm_x), avg_df))
+                    lm_rep = jnp.repeat(jnp.asarray(lm_x), num_samples, axis=0)
+                    warped_lms = np.asarray(
+                        warp_landmarks(lm_rep, all_dfs[:, 0]))
+                    all_metrics[2, k, j] = M.lms_var(warped_lms).mean()
+                    all_metrics[3, k, j] = M.lms_corr(
+                        lm_hat[0], warped_lms, np.asarray(lm_y)[0])
         mean = np.nanmean(all_metrics, axis=-1)
         sets = np.repeat(self.loader_names, len(names))
         mets = np.tile(names, self.num_datasets)
         df = pd.DataFrame(mean.T.reshape(1, -1),
                           columns=pd.MultiIndex.from_arrays((sets, mets)))
         if save:
-            make_tables(df, self.output_dir / "uncertainty", name="loss_table_vxm")
+            make_tables(df, self.output_dir / "uncertainty",
+                        name="loss_table_vxm" + artifact)
         return df
 
     # ------------------------------------------------------------------
@@ -511,8 +570,8 @@ class Evaluate:
                 self.load_data(task=task, segs=segs, lms=lms, mask=False,
                                ndims=self.model.cfg.ndims, path=data_path)
                 first = False
-            all_metrics = np.zeros(
-                [self.num_metrics, self.num_datasets, self.num_inputs], float)
+            all_metrics = np.full(
+                [self.num_metrics, self.num_datasets, self.num_inputs], np.nan)
             for k, loader in enumerate(self.loaders):
                 for j, batch in enumerate(loader):
                     x, y = jnp.asarray(batch["x"]), jnp.asarray(batch["y"])
@@ -531,8 +590,7 @@ class Evaluate:
                         pred_seg = warp_image(jnp.asarray(seg_x), final_dfs[0])
                         all_metrics[self.metric_names.index("Dice"), k, j] = 1 - float(
                             L.soft_dice_loss(pred_seg, jnp.asarray(seg_y)) / num_pixels)
-            all_metrics[all_metrics == 0] = np.nan
-            rows.append(np.concatenate(np.nanmean(all_metrics, axis=-1).T))
+                rows.append(np.concatenate(np.nanmean(all_metrics, axis=-1).T))
         sets = np.repeat(self.loader_names, self.num_metrics)
         mets = np.tile(self.metric_names, self.num_datasets)
         df = pd.DataFrame(np.stack(rows), index=model_names,

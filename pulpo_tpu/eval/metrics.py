@@ -66,12 +66,12 @@ def lms_var(lms: np.ndarray) -> np.ndarray:
 
 def lms_corr(lm_hat: np.ndarray, lms: np.ndarray, lm: np.ndarray) -> float:
     """NCC between landmark squared error and landmark variance
-    (evaluate.py:392-408)."""
+    (evaluate.py:392-408). torch.std is Bessel-corrected -> ddof=1."""
     lm_hat, lm = np.asarray(lm_hat), np.asarray(lm)
     error = np.mean((lm_hat - lm) ** 2, axis=-1).flatten()
     variance = lms_var(lms).flatten()
-    error_n = (error - error.mean()) / (error.std() * len(error))
-    var_n = (variance - variance.mean()) / variance.std()
+    error_n = (error - error.mean()) / (error.std(ddof=1) * len(error))
+    var_n = (variance - variance.mean()) / variance.std(ddof=1)
     return float(np.correlate(error_n, var_n)[0])
 
 

@@ -51,8 +51,8 @@ def _hw_kernel(win: int):
 
 def _d_kernel(win: int):
     def kernel(x_ref, o_ref):
-        x = x_ref[0, :, 0, :]  # (D, W) slab
-        o_ref[0, :, 0, :] = _box_axis(x, win, 0)
+        # (D, T) slab: D-axis box sum, lanes are flattened (h*w) tiles
+        o_ref[0] = _box_axis(x_ref[0], win, 0)
 
     return kernel
 
@@ -85,19 +85,24 @@ def _box_sum_pallas(x: jnp.ndarray, win: int, interpret: bool) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((b * d, h, w), x.dtype),
         interpret=interpret,
     )(x.reshape(b * d, h, w))
-    y = y.reshape(b, d, h, w)
-    # pass 2: D within each (b, h) slab
+    # pass 2: D-axis sum with lanes = flattened (h*w). Block (d, T):
+    # dim -2 covers the full d axis and T is a 128-multiple (or the full
+    # flattened width), satisfying Mosaic's (8, 128) tiling rule for any
+    # level shape. Box sums don't mix lanes, so ragged final-tile
+    # padding is discarded harmlessly.
+    hw = h * w
+    t = hw if hw <= 4096 else 4096
     y = pl.pallas_call(
         _d_kernel(win),
-        grid=(b, h),
-        in_specs=[pl.BlockSpec((1, d, 1, w), lambda i, j: (i, 0, j, 0),
+        grid=(b, -(-hw // t)),
+        in_specs=[pl.BlockSpec((1, d, t), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, d, 1, w), lambda i, j: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((1, d, t), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, d, h, w), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, d, hw), x.dtype),
         interpret=interpret,
-    )(y)
-    return y
+    )(y.reshape(b, d, hw))
+    return y.reshape(b, d, h, w)
 
 
 def _box_sum_xla(x: jnp.ndarray, win: int) -> jnp.ndarray:

@@ -114,6 +114,10 @@ def _box_sum(x: jnp.ndarray, win: int) -> jnp.ndarray:
     """
     from pulpo_tpu.kernels.box_sum import box_sum_nd
 
+    assert x.shape[-1] == 1, (
+        f"_box_sum expects single-channel input, got C={x.shape[-1]} "
+        "(the reference's 1-channel conv filter would raise too)"
+    )
     squeezed = x[..., 0]  # (B, *spatial)
     return box_sum_nd(squeezed, win)[..., None]
 

@@ -62,3 +62,33 @@ def make_spatial_forward(model, mesh: Mesh, deterministic: bool = True):
         fwd,
         in_shardings=(rspec, vspec, vspec, rspec),
     )
+
+
+def make_spatial_train_step(model, tx, mesh: Mesh):
+    """Sharded TRAINING step on the (data, space) mesh.
+
+    The full loss + gradient computation runs SPMD with the batch on
+    'data' and each volume's depth axis on 'space': XLA's partitioner
+    inserts the halo exchanges for the k=3 convs and the collectives for
+    the loss reductions / gradient accumulation — the step function
+    itself is the ordinary single-device one (train/step.py), unchanged.
+    Numerics are identical to the unsharded step (gradient-equality
+    test: tests/test_parallel.py::test_spatial_train_step_matches).
+    """
+    from pulpo_tpu.train.step import make_train_step
+
+    step = make_train_step(model, tx)
+    vspec = NamedSharding(mesh, P("data", "space"))
+    rspec = NamedSharding(mesh, P())
+    vol_ndim = model.cfg.ndims + 2  # (B, *spatial, C)
+
+    def sharded_step(state, batch):
+        batch = {
+            k: (jax.lax.with_sharding_constraint(v, vspec)
+                if hasattr(v, "ndim") and v.ndim == vol_ndim else v)
+            for k, v in batch.items()
+        }
+        return step(state, batch)
+
+    return jax.jit(sharded_step, in_shardings=(rspec, None),
+                   donate_argnums=0)

@@ -99,6 +99,7 @@ class Trainer:
         step = int(jax.device_get(state.step))  # nonzero after resume
         t_start = time.time()
         pending = None  # (step, metrics) fetched one step late to avoid sync
+        prev_flag = None  # previous step's nan_flag (device scalar)
 
         for epoch in range(cfg.max_epochs):
             for batch in prefetch_to_device(
@@ -109,31 +110,45 @@ class Trainer:
                 if self.profile_dir and step == 13:
                     jax.profiler.stop_trace()
 
-                state, metrics = train_step(state, batch)
-                step += 1
+                # NaN guard (models.py:188-194), checked EVERY step like
+                # the reference. The fetch is of the *previous* step's
+                # flag (overlaps with this step's dispatch); the step
+                # itself freezes the state on NaN (train/step.py), so
+                # the emergency dump below is the pre-NaN state.
+                if prev_flag is not None and bool(jax.device_get(prev_flag)):
+                    print("NAN IN REGULARIZATION LOSS")
+                    self.ckpt.save_emergency(state, step)
+                    self.should_stop = True
 
-                if pending is not None:
-                    self._log_train(*pending)
-                    pending = None
-                if step % cfg.log_every_n_steps == 0:
-                    m = _host_metrics(metrics)  # syncs; amortized over N steps
-                    if bool(m["nan_flag"]):
-                        # NaN guard (models.py:188-194)
-                        print("NAN IN REGULARIZATION LOSS")
-                        self.ckpt.save_emergency(state, step)
-                        self.should_stop = True
-                    pending = (step, m)
+                if not self.should_stop:
+                    state, metrics = train_step(state, batch)
+                    step += 1
+                    prev_flag = metrics["nan_flag"]
 
-                if step % val_every == 0:
-                    val_metrics = self._validate(eval_step, state, val_loader, step)
-                    self.ckpt.update_best(state, step, val_metrics)
-                    self.ckpt.save_latest(state, step)
+                    if pending is not None:
+                        self._log_train(*pending)
+                        pending = None
+                    if step % cfg.log_every_n_steps == 0:
+                        m = _host_metrics(metrics)  # syncs; amortized over N steps
+                        pending = (step, m)
+
+                    if step % val_every == 0:
+                        val_metrics = self._validate(eval_step, state, val_loader, step)
+                        self.ckpt.update_best(state, step, val_metrics)
+                        self.ckpt.save_latest(state, step)
 
                 if self.should_stop or (max_steps and step >= max_steps):
                     break
             if self.should_stop or (max_steps and step >= max_steps):
                 break
 
+        # the final flag may not have been inspected inside the loop
+        if (not self.should_stop and prev_flag is not None
+                and bool(jax.device_get(prev_flag))):
+            print("NAN IN REGULARIZATION LOSS")
+            self.ckpt.save_emergency(state, step)
+        if pending is not None:  # flush the last pending train log
+            self._log_train(*pending)
         self.writer.flush()
         elapsed = time.time() - t_start
         print(f"training finished: {step} steps in {elapsed:.1f}s "

@@ -133,11 +133,19 @@ def make_train_step(model: PULPoModel, tx: optax.GradientTransformation, axis_na
             )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        # NaN guard (models.py:188-194): the reference dumps the state
+        # *entering* the NaN step (torch.save before the optimizer step).
+        # We freeze params/opt/batch_stats on the flag, so the state the
+        # host later checkpoints is exactly the pre-NaN one even though
+        # the flag is fetched one step late (train/loop.py).
+        flag = metrics["nan_flag"]
+        keep = lambda old, new: jax.tree.map(
+            lambda o, n: jnp.where(flag, o, n.astype(o.dtype)), old, new)
         new_state = state.replace(
             step=state.step + 1,
-            params=new_params,
-            batch_stats=new_bs,
-            opt_state=new_opt,
+            params=keep(state.params, new_params),
+            batch_stats=keep(state.batch_stats, new_bs),
+            opt_state=keep(state.opt_state, new_opt),
             rng=rng,
         )
         return new_state, metrics

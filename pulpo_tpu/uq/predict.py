@@ -7,8 +7,10 @@ composition + integration, and the std reductions fused on-chip.
 
 Memory design: samples are processed in chunks (vmap of size `chunk`
 inside a lax.scan); the statistics are **streamed** as sum/sumsq
-accumulators, so no (N, full-res) buffer ever materializes. Per-sample
-outputs are retained only for the first chunk (figure sample grids).
+accumulators, so no (N, full-res) buffer ever materializes unless
+`keep_samples` asks for it. `chunk=None` picks an HBM-aware chunk
+automatically (see `auto_chunk`). Per-sample outputs are retained only
+for the first chunk (figure sample grids) unless `keep_samples`.
 
 Semantics follow the reference's (correct) batched 2D path
 (evaluate.py:253-277), applied to 3D:
@@ -28,11 +30,19 @@ Semantics follow the reference's (correct) batched 2D path
 - `output_mse` (mean over samples of (moved - y)^2, channel-dropped) is
   also streamed for the variance-error calibration metric
   (evaluate.py:1538).
+- `sample_landmarks` (pass `lm`): each posterior draw's final level-0
+  df warps the landmarks on-chip, so LM_VAR/LM_NCC use the SAME draws
+  as Var/NCC — the coupling the reference gets from retaining
+  all_final_dfs (evaluate.py:1547-1556).
+- `output_entropy`: per-voxel Gaussian differential entropy
+  0.5*ln(2*pi*e*var) of the warped intensity (the "variance/entropy
+  maps" capability; variance from the same streamed moments).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -40,7 +50,7 @@ import jax.numpy as jnp
 
 from pulpo_tpu.models.api import PULPoModel, combine_dfs
 from pulpo_tpu.models.pulpo import PULPoModule
-from pulpo_tpu.ops.warp import warp_image
+from pulpo_tpu.ops.warp import warp_image, warp_landmarks
 
 LevelDict = dict[int, jnp.ndarray]
 
@@ -54,6 +64,48 @@ class UQResult(NamedTuple):
     individual_df_std: LevelDict  # (B, *spatial)
     final_df_std: LevelDict       # (B, *spatial)
     output_mse: LevelDict         # (B, *spatial) mean_N (moved - y)^2
+    output_entropy: LevelDict     # (B, *spatial) 0.5*ln(2*pi*e*var)
+    # opt-in retention (keep_samples / lm):
+    sample_individual_dfs: LevelDict | None  # (N, B, *level, nd)
+    sample_combined_dfs: LevelDict | None    # (N, B, *level, nd)
+    sample_final_dfs: LevelDict | None       # (N, B, *out, nd)
+    sample_outputs: LevelDict | None         # (N, B, *out, C)
+    sample_landmarks: jnp.ndarray | None     # (N, B, n_lm, nd)
+
+
+def _default_hbm_budget() -> float:
+    """Usable accelerator memory, with headroom for params + fragments."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        if limit:
+            return 0.75 * float(limit)
+    except Exception:
+        pass
+    return 0.75 * 16e9  # v5e-class default
+
+
+def auto_chunk(cfg, N: int, batch: int = 1, dtype_bytes: int = 2,
+               hbm_budget: float | None = None) -> int:
+    """HBM-aware sample-chunk selection; always divides N.
+
+    The per-sample decode working set is dominated by the level-0
+    latent-resolution (input/2^lk_offset, ceil) feedback/merge conv
+    activations (reference pulpo.py:118-125, 235-240). The channel
+    multiplier is calibrated against measured v5e numbers (PERF.md:
+    full-res n0=32 fits at chunk 16, OOMs at chunk 32).
+    """
+    sizes = list(cfg.input_size)
+    for _ in range(cfg.lk_offset):
+        sizes = [math.ceil(s / 2) for s in sizes]
+    v0 = math.prod(sizes)
+    per_sample = v0 * batch * (12 * cfg.n0) * dtype_bytes
+    budget = hbm_budget if hbm_budget is not None else _default_hbm_budget()
+    cap = max(1, int(budget // max(per_sample, 1)))
+    for c in range(min(N, cap), 0, -1):
+        if N % c == 0:
+            return c
+    return 1
 
 
 def _chunk_moments(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -83,8 +135,15 @@ def _finalize_std(moments, n: int) -> jnp.ndarray:
     return jnp.mean(jnp.sqrt(jnp.maximum(m2 / (n - 1), 0.0)), axis=-1)
 
 
+def _finalize_entropy(moments, n: int) -> jnp.ndarray:
+    """Gaussian differential entropy from the channel-averaged variance."""
+    _, m2 = moments
+    var = jnp.mean(jnp.maximum(m2 / (n - 1), 0.0), axis=-1)
+    return 0.5 * jnp.log(2.0 * jnp.pi * jnp.e * var + 1e-12)
+
+
 def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
-             chunk: int | None = None):
+             chunk: int | None = None, keep_samples: bool = False, lm=None):
     cfg = model.cfg
     if chunk is None or chunk > N:
         chunk = N
@@ -98,12 +157,12 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
             variables, x, acts, False, False,
             rngs={"sample": key}, method=PULPoModule.decode,
         )
-        return outs[4], outs[6], outs[7]  # individual, final, transformed
+        return outs[4], outs[5], outs[6], outs[7]  # ind, comb, final, moved
 
     keys = jax.random.split(rng, N).reshape(n_chunks, chunk)
 
     def chunk_stats(ks):
-        ind, fin, out = jax.vmap(decode_one)(ks)  # (chunk, B, ...)
+        ind, comb, fin, out = jax.vmap(decode_one)(ks)  # (chunk, B, ...)
         stats = {}
         for name, d in (("ind", ind), ("fin", fin), ("out", out)):
             stats[name] = {l: _chunk_moments(v) for l, v in d.items()}
@@ -113,7 +172,15 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
             0: ((out[0].astype(jnp.float32) - y[None].astype(jnp.float32)) ** 2)
             .sum(0)[..., 0]
         }
-        return stats, out
+        retained = {}
+        if keep_samples:
+            retained["ind"], retained["comb"], retained["fin"] = ind, comb, fin
+            retained["out"] = out
+        if lm is not None:
+            # same-draw landmark warps: lm is (B, n_lm, nd) in level-0
+            # coords; fin[0] is (chunk, B, *out0, nd)
+            retained["lm"] = jax.vmap(lambda d: warp_landmarks(lm, d))(fin[0])
+        return stats, out, retained
 
     def merge_stats(carry, s, n_carry):
         merged = {}
@@ -126,19 +193,26 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
         return merged
 
     # first chunk also returns its per-sample outputs (for sample grids)
-    stats0, first_outputs = chunk_stats(keys[0])
+    stats0, first_outputs, retained0 = chunk_stats(keys[0])
     if n_chunks > 1:
         # lax.scan serializes chunks (bounds live memory); the sample
-        # count so far rides in the carry for the moment combination
+        # count so far rides in the carry for the moment combination.
+        # Retained per-sample tensors ride the scan's stacked ys.
         def body(carry, ks):
             stats_c, n_c = carry
-            s, _ = chunk_stats(ks)
-            return (merge_stats(stats_c, s, n_c), n_c + chunk), None
+            s, _, ret = chunk_stats(ks)
+            return (merge_stats(stats_c, s, n_c), n_c + chunk), ret
 
-        (stats, _), _ = jax.lax.scan(
+        (stats, _), retained_rest = jax.lax.scan(
             body, (stats0, jnp.float32(chunk)), keys[1:])
+        # concat first chunk + scanned chunks along the sample axis
+        retained = jax.tree.map(
+            lambda a, b: jnp.concatenate(
+                [a, b.reshape(-1, *b.shape[2:])], axis=0),
+            retained0, retained_rest)
     else:
         stats = stats0
+        retained = retained0
 
     # mean-SVF combine + integrate + re-warp (streamed mean == avg df)
     avg_dfs = {l: m[0] for l, m in stats["ind"].items()}
@@ -146,6 +220,7 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
     mean_outputs = {l: warp_image(x, mean_final[l]) for l in mean_final}
 
     output_std = {l: _finalize_std(m, N) for l, m in stats["out"].items()}
+    output_entropy = {l: _finalize_entropy(m, N) for l, m in stats["out"].items()}
     individual_df_std = {l: _finalize_std(m, N) for l, m in stats["ind"].items()}
     final_df_std = {l: _finalize_std(m, N) for l, m in stats["fin"].items()}
     if mask is not None:
@@ -166,26 +241,51 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
         individual_df_std=individual_df_std,
         final_df_std=final_df_std,
         output_mse=output_mse,
+        output_entropy=output_entropy,
+        sample_individual_dfs=retained.get("ind"),
+        sample_combined_dfs=retained.get("comb"),
+        sample_final_dfs=retained.get("fin"),
+        sample_outputs=retained.get("out"),
+        sample_landmarks=retained.get("lm"),
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_uq(model: PULPoModel, N: int, has_mask: bool, chunk: int | None):
-    if has_mask:
-        return jax.jit(lambda v, x, y, r, m: _uq_impl(model, v, x, y, N, r, m, chunk))
-    return jax.jit(lambda v, x, y, r: _uq_impl(model, v, x, y, N, r, None, chunk))
+def _jitted_uq(model: PULPoModel, N: int, has_mask: bool, chunk: int | None,
+               keep_samples: bool, has_lm: bool):
+    def f(v, x, y, r, m, lm):
+        return _uq_impl(model, v, x, y, N, r, m, chunk,
+                        keep_samples=keep_samples, lm=lm)
+
+    jf = jax.jit(f)
+
+    def call(v, x, y, r, m=None, lm=None):
+        return jf(v, x, y, r, m, lm)
+
+    return call
 
 
 def predict_with_uncertainty(
     model: PULPoModel, variables, x, y, N: int, rng, mask=None,
-    chunk: int | None = None,
+    chunk: int | None = None, keep_samples: bool = False, lm=None,
 ) -> UQResult:
     """Single fused on-chip program for N-sample UQ prediction.
 
     `chunk` bounds peak memory: samples stream through a scanned
     vmap(chunk) with sum/sumsq std accumulators; `outputs` holds only
-    the first chunk's per-sample warps.
+    the first chunk's per-sample warps. `chunk=None` selects an
+    HBM-aware chunk via `auto_chunk` (always a divisor of N), so
+    full-res N=32 runs on a single chip by default.
+
+    `keep_samples=True` additionally retains per-sample individual /
+    combined / final dfs (the reference's all_* buffers,
+    evaluate.py:220-235) — costs N full buffers of HBM, opt-in.
+    `lm=(B, n_lm, nd)` retains per-sample warped landmarks (tiny).
     """
-    if mask is not None:
-        return _jitted_uq(model, N, True, chunk)(variables, x, y, rng, mask)
-    return _jitted_uq(model, N, False, chunk)(variables, x, y, rng)
+    if chunk is None:
+        dtype_bytes = 2 if model.dtype == jnp.bfloat16 else 4
+        chunk = auto_chunk(model.cfg, N, batch=x.shape[0],
+                           dtype_bytes=dtype_bytes)
+    fn = _jitted_uq(model, N, mask is not None, chunk, keep_samples,
+                    lm is not None)
+    return fn(variables, x, y, rng, mask, lm)

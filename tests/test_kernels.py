@@ -36,6 +36,76 @@ def test_box_sum_gradient_self_adjoint():
                                rtol=1e-4, atol=1e-5)
 
 
+class TestWarpLocal:
+    """The 27-tap halo stencil must bit-match the XLA self-warp while
+    the sub-voxel exactness bound holds."""
+
+    def _random_subvoxel_field(self, shape, scale, seed=0):
+        from pulpo_tpu.kernels.warp_local import local_bound
+
+        rng = np.random.default_rng(seed)
+        v = rng.uniform(-1, 1, size=shape).astype(np.float32)
+        return jnp.asarray(v * scale * local_bound(shape[1:-1]))
+
+    @pytest.mark.parametrize("shape", [
+        (1, 10, 12, 14, 3),
+        (2, 8, 9, 11, 3),   # odd sizes exercise slab/halo edges
+        (1, 12, 14, 2),     # 2D
+    ])
+    def test_stencil_matches_xla_selfwarp(self, shape):
+        from pulpo_tpu.kernels.warp_local import _squaring_step_pallas
+        from pulpo_tpu.ops.warp import warp_image
+
+        vec = self._random_subvoxel_field(shape, scale=0.999)
+        ref = vec + warp_image(vec, vec)
+        got = _squaring_step_pallas(vec, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_guarded_integration_matches_xla(self):
+        """Full 7-step integration (guard flips to the XLA branch as the
+        field grows) == ops.warp.integrate_svf."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from pulpo_tpu.kernels.warp_local import integrate_svf_pallas
+        from pulpo_tpu.ops.warp import integrate_svf
+
+        rng = np.random.default_rng(3)
+        # a *large* field: after /2^7 it is sub-voxel for the first
+        # iterations, then crosses the bound -> exercises both branches
+        vec = jnp.asarray(
+            rng.uniform(-20, 20, size=(1, 10, 12, 14, 3)).astype(np.float32))
+        ref = integrate_svf(vec, nsteps=7)
+        with pltpu.force_tpu_interpret_mode():
+            got = integrate_svf_pallas(vec, nsteps=7)
+        # early-step f32 noise (~1e-7) doubles per squaring iteration;
+        # field magnitudes reach ~14 voxels -> tolerance scaled to match
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_gradient_matches_xla(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from pulpo_tpu.kernels.warp_local import squaring_step
+        from pulpo_tpu.ops.warp import warp_image
+
+        vec = self._random_subvoxel_field((1, 6, 8, 10, 3), scale=0.9, seed=4)
+        f_ref = lambda v: jnp.sum(jnp.cos(v + warp_image(v, v)))
+        f_ker = lambda v: jnp.sum(jnp.cos(squaring_step(v)))
+        g_ref = jax.grad(f_ref)(vec)
+        with pltpu.force_tpu_interpret_mode():
+            g_ker = jax.grad(f_ker)(vec)
+        np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_zero_field_is_fixed_point(self):
+        from pulpo_tpu.kernels.warp_local import _squaring_step_pallas
+
+        vec = jnp.zeros((1, 6, 8, 10, 3), jnp.float32)
+        got = _squaring_step_pallas(vec, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-7)
+
+
 def test_ncc_uses_kernel_and_matches_golden():
     """ncc_loss routed through box_sum_nd still matches torch (the torch
     golden path is covered in test_losses; here interpret vs xla)."""

@@ -119,6 +119,101 @@ def test_checkpoint_under_sharding(tmp_path):
         np.asarray(jax.tree.leaves(state.params)[0]))
 
 
+def test_spatial_train_step_matches():
+    """Gradient equality: one TRAINING step on the (data=2, space=4)
+    mesh == the unsharded step (same state, batch, rng)."""
+    from pulpo_tpu.parallel.spatial import (
+        make_2d_mesh, make_spatial_train_step, replicated, volume_batch_spec)
+    from pulpo_tpu.train.step import make_train_step
+
+    import optax
+
+    cfg = PULPoConfig(input_size=(16, 14, 16), total_levels=3, latent_levels=2,
+                      n0=2, batch_size=2, dataset="synthetic")
+    model = PULPoModel(cfg)
+    state, _ = create_train_state(model, seed=0)
+    # SGD isolates the gradient comparison: Adam's first step is
+    # lr*sign(g), which amplifies reduction-order noise on near-zero
+    # gradient elements into full-size update differences
+    tx = optax.sgd(0.1)
+    state = state.replace(opt_state=tx.init(state.params))
+    rng = np.random.default_rng(1)
+    batch = {
+        "x": jnp.asarray(rng.random((2, *cfg.input_size, 1), dtype=np.float32)),
+        "y": jnp.asarray(rng.random((2, *cfg.input_size, 1), dtype=np.float32)),
+    }
+
+    ref_step = jax.jit(make_train_step(model, tx))
+    ref_state, ref_metrics = ref_step(state, batch)
+
+    mesh = make_2d_mesh(data=2, space=4)
+    state2, _ = create_train_state(model, seed=0)
+    state2 = state2.replace(opt_state=tx.init(state2.params))
+    state2 = jax.device_put(state2, replicated(mesh))
+    sbatch = jax.device_put(batch, volume_batch_spec(mesh))
+    step = make_spatial_train_step(model, tx, mesh)
+    new_state, metrics = step(state2, sbatch)
+
+    np.testing.assert_allclose(float(metrics["total_loss"]),
+                               float(ref_metrics["total_loss"]),
+                               rtol=1e-5, atol=1e-6)
+    # params moved by -0.1*grad: equality here IS gradient equality
+    for a, b in zip(jax.tree.leaves(new_state.params),
+                    jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-5)
+
+
+def test_multihost_helpers_single_process():
+    """Multi-host scaffolding degenerates correctly at process_count=1
+    and produces globally-sharded arrays on the mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    from pulpo_tpu.parallel import multihost as mh
+
+    assert mh.initialize() is False  # no coordinator -> single-host no-op
+    mesh = mh.make_global_mesh(8)
+    assert mesh.devices.shape == (8,)
+
+    assert mh.process_shard(8) == slice(0, 8)
+
+    idx_a = mh.shard_dataset_indices(32, seed=0, epoch=3, global_batch=8)
+    idx_b = mh.shard_dataset_indices(32, seed=0, epoch=3, global_batch=8)
+    np.testing.assert_array_equal(idx_a, idx_b)  # deterministic
+    assert idx_a.shape == (4, 8)
+    assert len(np.unique(idx_a)) == 32  # a permutation, no duplicates
+
+    local = {"x": np.arange(8 * 3, dtype=np.float32).reshape(8, 3)}
+    global_batch = mh.local_to_global(local, mesh, P("data"))
+    assert global_batch["x"].shape == (8, 3)
+    np.testing.assert_array_equal(np.asarray(global_batch["x"]), local["x"])
+
+
+def test_ingest_golden():
+    """On-device ingest == the offline converter normalization."""
+    from pulpo_tpu.data.convert import _brats_normalize
+    from pulpo_tpu.data.ingest import ingest, znorm_clip_minmax
+
+    rng = np.random.default_rng(2)
+    vol = (rng.standard_normal((10, 12, 14)) * 50 + 100).astype(np.float32)
+    ref = _brats_normalize(vol)
+    got = np.asarray(znorm_clip_minmax(jnp.asarray(vol)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    # batched path: per-volume statistics
+    batch = np.stack([vol, vol * 2 + 7])[..., None]
+    got_b = np.asarray(ingest(batch, normalize="znorm"))
+    np.testing.assert_allclose(got_b[0, ..., 0], ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got_b[1, ..., 0],
+                               _brats_normalize(vol * 2 + 7),
+                               rtol=1e-5, atol=1e-6)
+
+    # resample stage: target shape honored, values in [0, 1]
+    got_r = np.asarray(ingest(batch, target=(8, 8, 8)))
+    assert got_r.shape == (2, 8, 8, 8, 1)
+    assert got_r.min() >= 0.0 and got_r.max() <= 1.0
+
+
 def test_spatial_sharding_matches_unsharded():
     """Depth-sharded forward (XLA halo exchange) == single-device forward."""
     from pulpo_tpu.parallel.spatial import (

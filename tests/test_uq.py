@@ -59,6 +59,78 @@ def test_uq_mean_matches_predict_api():
             rtol=1e-5, atol=1e-6)
 
 
+def test_uq_keep_samples_consistency():
+    """Retained per-sample dfs must reproduce the streamed statistics:
+    std(sample_final_dfs) == final_df_std, mean(sample_individual_dfs)
+    == avg_dfs — and match across chunked/unchunked runs."""
+    res = predict_with_uncertainty(
+        model, variables, x, y, 4, jax.random.key(5), chunk=2,
+        keep_samples=True)
+    for l in res.avg_dfs:
+        ind = np.asarray(res.sample_individual_dfs[l])  # (N, B, *sp, nd)
+        np.testing.assert_allclose(
+            ind.mean(axis=0), np.asarray(res.avg_dfs[l]), rtol=1e-4, atol=1e-6)
+        fin = np.asarray(res.sample_final_dfs[l]).astype(np.float64)
+        std = np.mean(np.std(fin, axis=0, ddof=1), axis=-1)
+        np.testing.assert_allclose(
+            std, np.asarray(res.final_df_std[l]), rtol=1e-3, atol=1e-5)
+        out = np.asarray(res.sample_outputs[l]).astype(np.float64)
+        np.testing.assert_allclose(
+            np.mean(np.std(out, axis=0, ddof=1), axis=-1),
+            np.asarray(res.output_std[l]), rtol=1e-3, atol=1e-5)
+
+
+def test_uq_same_draw_landmarks():
+    """sample_landmarks must equal warping the landmarks with the
+    retained per-sample final dfs (same posterior draws)."""
+    from pulpo_tpu.ops.warp import warp_landmarks
+
+    lm = jnp.asarray([[[2.0, 3.0, 4.0], [5.0, 6.0, 7.0]]])  # (1, 2, 3)
+    res = predict_with_uncertainty(
+        model, variables, x, y, 4, jax.random.key(6), chunk=2,
+        keep_samples=True, lm=lm)
+    assert res.sample_landmarks.shape == (4, 1, 2, 3)
+    for i in range(4):
+        expect = warp_landmarks(lm, res.sample_final_dfs[0][i])
+        np.testing.assert_allclose(
+            np.asarray(res.sample_landmarks[i]), np.asarray(expect),
+            rtol=1e-5, atol=1e-6)
+
+
+def test_uq_entropy_map():
+    res = predict_with_uncertainty(model, variables, x, y, 4, jax.random.key(7))
+    for l in res.output_std:
+        ent = np.asarray(res.output_entropy[l])
+        assert ent.shape == np.asarray(res.output_std[l]).shape
+        assert np.all(np.isfinite(ent))
+    # entropy is monotone in the variance
+    s = np.asarray(res.output_std[0]).ravel()
+    e = np.asarray(res.output_entropy[0]).ravel()
+    order = np.argsort(s)
+    assert np.all(np.diff(e[order]) >= -1e-6)
+
+
+def test_auto_chunk_divides_and_scales():
+    from pulpo_tpu.uq.predict import auto_chunk
+
+    cfg_full = PULPoConfig(input_size=(160, 192, 224), total_levels=5,
+                           latent_levels=4, n0=32, dataset="synthetic")
+    # calibration point: full-res N=32 must pick the measured-safe 16
+    # on a 16G-class chip (PERF.md: chunk 16 fits, chunk 32 OOMs)
+    c = auto_chunk(cfg_full, 32, batch=1, dtype_bytes=2, hbm_budget=0.75 * 16e9)
+    assert c == 16
+    # batch=2 halves the chunk
+    assert auto_chunk(cfg_full, 32, batch=2, dtype_bytes=2,
+                      hbm_budget=0.75 * 16e9) == 8
+    # the chosen chunk always divides N
+    for n in (6, 10, 12, 32, 48):
+        for budget in (1e8, 1e9, 1e10):
+            cc = auto_chunk(cfg_full, n, hbm_budget=budget)
+            assert n % cc == 0
+    # tiny inputs: no chunking needed
+    assert auto_chunk(model.cfg, 8, dtype_bytes=4) == 8
+
+
 def test_uq_masked_final_df_std():
     mask = jnp.ones_like(x)
     res_m = predict_with_uncertainty(model, variables, x, y, 4, jax.random.key(4), mask=mask)
