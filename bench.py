@@ -24,8 +24,19 @@ import os
 import sys
 import time
 
+# persistent compile cache: the relay's AOT TPU compiles run 45+ min for
+# the full-res UQ program; cache hits make reruns of an unchanged
+# program near-instant. Must be set before jax initializes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 BASELINE_PAIRS_PER_SEC = 20.0
 N_SAMPLES = 32
+
+# proxy mode: same workload at a reduced resolution for B x chunk
+# sweeps (full-res compiles are prohibitively slow on the relay)
+_PROXY_SIZES = {"half": (80, 96, 112), "quarter": (40, 48, 56)}
 
 
 def _make_model(input_size, batch_size: int = 1):
@@ -54,7 +65,10 @@ def bench_uq(input_size, batch: int, chunk: int | None, iters: int):
     from pulpo_tpu.uq.predict import predict_with_uncertainty
 
     cfg, model = _make_model(input_size)
+    t0 = time.perf_counter()
     variables = model.init(jax.random.key(0))
+    jax.block_until_ready(variables)
+    print(f"# init {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
 
     kx, ky = jax.random.split(jax.random.key(1))
     x = jax.random.uniform(kx, (batch, *cfg.input_size, 1), jnp.float32)
@@ -75,8 +89,11 @@ def bench_uq(input_size, batch: int, chunk: int | None, iters: int):
         salt = jnp.abs(prev_scalar * 1e6).astype(jnp.int32)
         return jax.random.fold_in(jax.random.fold_in(base, i), salt)
 
+    t0 = time.perf_counter()
     out = run(rng)  # warmup / compile
     jax.block_until_ready(out)
+    print(f"# warmup+compile {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     prev = out[1].mean()
@@ -123,28 +140,33 @@ def main():
     small = bool(os.environ.get("PULPO_BENCH_SMALL"))
     if small:  # quick CI / CPU sanity mode
         input_size = (32, 32, 32)
+    proxy = os.environ.get("PULPO_BENCH_PROXY", "")
+    if proxy:
+        input_size = _PROXY_SIZES[proxy]
 
     mode = os.environ.get("PULPO_BENCH_MODE", "uq")
     batch = int(os.environ.get("PULPO_BENCH_BATCH", "1"))
     iters = int(os.environ.get("PULPO_BENCH_ITERS", "5"))
 
+    res_tag = f"{proxy}res" if proxy else "fullres"
     if mode == "train":
         sps = bench_train(input_size, batch, iters)
         result = {
-            "metric": "oasis_fullres_train_pairs_per_sec",
+            "metric": f"oasis_{res_tag}_train_pairs_per_sec",
             "value": round(sps, 4),
             "unit": "pairs/s",
             "vs_baseline": None,
         }
     else:
         chunk_env = os.environ.get("PULPO_BENCH_CHUNK", "")
-        chunk = int(chunk_env) if chunk_env else (None if small else max(1, 16 // batch))
+        chunk = int(chunk_env) if chunk_env else (None if small else max(1, 8 // batch))
         pps = bench_uq(input_size, batch, chunk, iters)
         result = {
-            "metric": f"oasis_fullres_uq{N_SAMPLES}_pairs_per_sec",
+            "metric": f"oasis_{res_tag}_uq{N_SAMPLES}_pairs_per_sec",
             "value": round(pps, 4),
             "unit": "pairs/s",
-            "vs_baseline": round(pps / BASELINE_PAIRS_PER_SEC, 4),
+            "vs_baseline": round(pps / BASELINE_PAIRS_PER_SEC, 4)
+            if not proxy else None,
         }
     print(json.dumps(result))
     return result

@@ -91,15 +91,17 @@ def auto_chunk(cfg, N: int, batch: int = 1, dtype_bytes: int = 2,
 
     The per-sample decode working set is dominated by the level-0
     latent-resolution (input/2^lk_offset, ceil) feedback/merge conv
-    activations (reference pulpo.py:118-125, 235-240). The channel
-    multiplier is calibrated against measured v5e numbers (PERF.md:
-    full-res n0=32 fits at chunk 16, OOMs at chunk 32).
+    activations (reference pulpo.py:118-125, 235-240): XLA materializes
+    the 5*n0-channel concat input padded to the 128-lane tile PLUS a
+    layout copy of it (~2 x 1.6 x unpadded). The channel multiplier is
+    calibrated against the measured v5e HBM breakdown (PERF.md: full-res
+    n0=32 OOMs at chunk 16 by 54M; chunk 8 fits).
     """
     sizes = list(cfg.input_size)
     for _ in range(cfg.lk_offset):
         sizes = [math.ceil(s / 2) for s in sizes]
     v0 = math.prod(sizes)
-    per_sample = v0 * batch * (12 * cfg.n0) * dtype_bytes
+    per_sample = v0 * batch * (24 * cfg.n0) * dtype_bytes
     budget = hbm_budget if hbm_budget is not None else _default_hbm_budget()
     cap = max(1, int(budget // max(per_sample, 1)))
     for c in range(min(N, cap), 0, -1):
@@ -183,6 +185,10 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
         return stats, out, retained
 
     def merge_stats(carry, s, n_carry):
+        # Chan combination with a zero-initialized carry is exact for
+        # the first chunk (n_carry == 0 -> mean/m2 pass through), so ONE
+        # scan body covers every chunk — the decode appears once in the
+        # program, halving compile time vs an unrolled first chunk.
         merged = {}
         for name in ("ind", "fin", "out"):
             merged[name] = {
@@ -192,27 +198,26 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
         merged["mse"] = {l: carry["mse"][l] + s["mse"][l] for l in carry["mse"]}
         return merged
 
-    # first chunk also returns its per-sample outputs (for sample grids)
-    stats0, first_outputs, retained0 = chunk_stats(keys[0])
-    if n_chunks > 1:
-        # lax.scan serializes chunks (bounds live memory); the sample
-        # count so far rides in the carry for the moment combination.
-        # Retained per-sample tensors ride the scan's stacked ys.
-        def body(carry, ks):
-            stats_c, n_c = carry
-            s, _, ret = chunk_stats(ks)
-            return (merge_stats(stats_c, s, n_c), n_c + chunk), ret
+    # shape/zero templates for the streamed stats + first-chunk slot
+    stats_shape, out_shape, _ = jax.eval_shape(chunk_stats, keys[0])
+    zeros = lambda tree: jax.tree.map(
+        lambda a: jnp.zeros(a.shape, a.dtype), tree)
 
-        (stats, _), retained_rest = jax.lax.scan(
-            body, (stats0, jnp.float32(chunk)), keys[1:])
-        # concat first chunk + scanned chunks along the sample axis
-        retained = jax.tree.map(
-            lambda a, b: jnp.concatenate(
-                [a, b.reshape(-1, *b.shape[2:])], axis=0),
-            retained0, retained_rest)
-    else:
-        stats = stats0
-        retained = retained0
+    def body(carry, ks):
+        stats_c, first_c, n_c = carry
+        s, out, ret = chunk_stats(ks)
+        # retain the FIRST chunk's per-sample outputs (figure grids)
+        first = jax.tree.map(
+            lambda slot, o: jnp.where(n_c == 0, o, slot), first_c, out)
+        return (merge_stats(stats_c, s, n_c), first, n_c + chunk), ret
+
+    # lax.scan serializes chunks (bounds live memory); the sample count
+    # so far rides in the carry for the moment combination. Retained
+    # per-sample tensors ride the scan's stacked ys.
+    (stats, first_outputs, _), retained = jax.lax.scan(
+        body, (zeros(stats_shape), zeros(out_shape), jnp.float32(0.0)), keys)
+    retained = jax.tree.map(
+        lambda a: a.reshape(-1, *a.shape[2:]), retained)
 
     # mean-SVF combine + integrate + re-warp (streamed mean == avg df)
     avg_dfs = {l: m[0] for l, m in stats["ind"].items()}

@@ -80,3 +80,56 @@ def test_run_one_model_smoke(tmp_path):
 
     aff = ev.performance_affine()
     assert np.isfinite(aff[("train", "RMSE")]).all()
+
+
+@pytest.mark.slow
+def test_artifact_robustness_sweep(tmp_path):
+    """The reference's artifact-robustness experiment set: performance /
+    uncertainty / affine / vxm tables with a corrupted moving image
+    (evaluate.py:1146, 1224, 1300, 1421, 1500)."""
+    import jax
+
+    from pulpo_tpu.config import PULPoConfig
+    from pulpo_tpu.eval.evaluator import Evaluate
+    from pulpo_tpu.models.api import PULPoModel
+
+    cfg = PULPoConfig(input_size=(12, 14, 16), total_levels=3, latent_levels=2,
+                      n0=2, dataset="synthetic")
+    model = PULPoModel(cfg)
+    variables = model.init(jax.random.key(0))
+
+    ev = Evaluate()
+    ev.set_model(model, variables, output_dir=tmp_path / "evaluation")
+    ev.load_data(task="synthetic", segs=False, lms=True, mask=False, ndims=3)
+    for sub in ("loss", "uncertainty"):
+        (ev.output_dir / sub).mkdir(parents=True, exist_ok=True)
+
+    clean = ev.performance(save=False)
+    corrupted = ev.performance(artifact="black", save=True)
+    # the black box changes the moving image -> RMSE must differ
+    assert not np.allclose(clean[("train", "RMSE")],
+                           corrupted[("train", "RMSE")])
+    assert (tmp_path / "evaluation/loss/loss_table_deterministicblack.tex").exists()
+
+    unc = ev.uncertainty(num_samples=2, artifact="noise", save=True)
+    assert np.isfinite(unc[("train", "Var")]).all()
+    assert (tmp_path / "evaluation/uncertainty/loss_tablenoise.tex").exists()
+
+    aff = ev.performance_affine(artifact="white", save=True)
+    assert np.isfinite(aff[("train", "RMSE")]).all()
+    assert (tmp_path / "evaluation/loss/loss_table_affinewhite.tex").exists()
+
+    # vxm baseline with artifact (random-init weights; smoke + table)
+    from pulpo_tpu.models.voxelmorph import VxmModel
+
+    vxm = VxmModel(cfg.input_size)
+    vxm_vars = vxm.init(jax.random.key(1))
+    ev.load_vxm(vxm_vars, cfg.input_size, output_dir=tmp_path / "evaluation_vxm")
+    for sub in ("loss", "uncertainty"):
+        (ev.output_dir / sub).mkdir(parents=True, exist_ok=True)
+    pv = ev.performance_vxm(artifact="mean", save=True)
+    assert np.isfinite(pv[("train", "RMSE")]).all()
+    uv = ev.uncertainty_vxm(num_samples=2, artifact="mean", save=True)
+    assert np.isfinite(uv[("train", "Var")]).all()
+    assert np.isfinite(uv[("train", "LM_NCC")]).any()
+    assert (tmp_path / "evaluation_vxm/loss/loss_table_vxmmean.tex").exists()

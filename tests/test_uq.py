@@ -115,13 +115,13 @@ def test_auto_chunk_divides_and_scales():
 
     cfg_full = PULPoConfig(input_size=(160, 192, 224), total_levels=5,
                            latent_levels=4, n0=32, dataset="synthetic")
-    # calibration point: full-res N=32 must pick the measured-safe 16
-    # on a 16G-class chip (PERF.md: chunk 16 fits, chunk 32 OOMs)
+    # calibration point: full-res N=32 must pick the measured-safe 8 on
+    # a 16G-class chip (PERF.md: chunk 16 OOMs by 54M, chunk 8 fits)
     c = auto_chunk(cfg_full, 32, batch=1, dtype_bytes=2, hbm_budget=0.75 * 16e9)
-    assert c == 16
+    assert c == 8
     # batch=2 halves the chunk
     assert auto_chunk(cfg_full, 32, batch=2, dtype_bytes=2,
-                      hbm_budget=0.75 * 16e9) == 8
+                      hbm_budget=0.75 * 16e9) == 4
     # the chosen chunk always divides N
     for n in (6, 10, 12, 32, 48):
         for budget in (1e8, 1e9, 1e10):
