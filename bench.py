@@ -39,6 +39,36 @@ N_SAMPLES = 32
 _PROXY_SIZES = {"half": (80, 96, 112), "quarter": (40, 48, 56)}
 
 
+def _volume_pair(batch, input_size):
+    """Registration pairs with realistic statistics: OASIS volumes when
+    OASIS.h5 is available, else band-limited synthetic brains warped by
+    smooth deformations (not uniform noise — intensity statistics shape
+    the NCC/warp numerics)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        from pulpo_tpu.data.oasis import OASIS
+
+        ds = OASIS("training", segs=False, lms=False, mask=False)
+        if ds.input_size != tuple(input_size):
+            raise ValueError("OASIS.h5 shape != bench input size")
+        gen = np.random.default_rng(0)
+        xs, ys = [], []
+        for i in range(batch):
+            item = ds.get_pair(i, gen)
+            xs.append(item["x"])
+            ys.append(item["y"])
+        return jnp.stack(xs), jnp.stack(ys)
+    except Exception:
+        from pulpo_tpu.data.loader import DataLoader
+        from pulpo_tpu.data.synthetic import SyntheticDataset
+
+        ds = SyntheticDataset(shape=tuple(input_size), n=max(2, batch), seed=0)
+        b = next(iter(DataLoader(ds, batch_size=batch, shuffle=False)))
+        return jnp.asarray(b["x"]), jnp.asarray(b["y"])
+
+
 def _make_model(input_size, batch_size: int = 1):
     import jax.numpy as jnp
 
@@ -70,9 +100,7 @@ def bench_uq(input_size, batch: int, chunk: int | None, iters: int):
     jax.block_until_ready(variables)
     print(f"# init {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
 
-    kx, ky = jax.random.split(jax.random.key(1))
-    x = jax.random.uniform(kx, (batch, *cfg.input_size, 1), jnp.float32)
-    y = jax.random.uniform(ky, (batch, *cfg.input_size, 1), jnp.float32)
+    x, y = _volume_pair(batch, cfg.input_size)
     rng = jax.random.key(2)
 
     def run(r):
@@ -118,11 +146,8 @@ def bench_train(input_size, batch: int, iters: int):
     state, tx = create_train_state(model, seed=0)
     step = jax.jit(make_train_step(model, tx), donate_argnums=0)
 
-    kx, ky = jax.random.split(jax.random.key(1))
-    batch_data = {
-        "x": jax.random.uniform(kx, (batch, *cfg.input_size, 1), jnp.float32),
-        "y": jax.random.uniform(ky, (batch, *cfg.input_size, 1), jnp.float32),
-    }
+    x, y = _volume_pair(batch, cfg.input_size)
+    batch_data = {"x": x, "y": y}
     state, metrics = step(state, batch_data)  # compile
     jax.block_until_ready(metrics["total_loss"])
 
@@ -145,7 +170,9 @@ def main():
         input_size = _PROXY_SIZES[proxy]
 
     mode = os.environ.get("PULPO_BENCH_MODE", "uq")
-    batch = int(os.environ.get("PULPO_BENCH_BATCH", "1"))
+    # B=2 measured 10.66 pairs/s vs 5.45 at B=1 (PERF.md): the small-C
+    # convs gain real MXU utilization from batched pairs
+    batch = int(os.environ.get("PULPO_BENCH_BATCH", "2"))
     iters = int(os.environ.get("PULPO_BENCH_ITERS", "5"))
 
     res_tag = f"{proxy}res" if proxy else "fullres"

@@ -157,3 +157,35 @@ def test_similarity_pyramid_weights():
     for l in range(cfg.latent_levels):
         assert cfg.kl_weight_dict[l] == base.kl_weight_dict[l] / 2**l
         assert cfg.recon_weight_dict[l] == base.recon_weight_dict[l] / 2**l
+
+
+def test_window_size_special_cases():
+    """window_size formula for K != 4, incl. the K == 1 special case
+    (models.py:104-106)."""
+    mk = lambda K, L: PULPoConfig(
+        input_size=(64, 64, 64), total_levels=L, latent_levels=K)
+    assert mk(1, 2).window_size == {0: 9}     # special-cased, not 1+2*1
+    assert mk(2, 3).window_size == {0: 5, 1: 3}
+    assert mk(3, 4).window_size == {0: 7, 1: 5, 2: 3}
+    assert mk(5, 6).window_size == {0: 11, 1: 9, 2: 7, 3: 5, 4: 3}
+    # recon/reg weight scaling follows latent_levels, not 4
+    cfg = mk(2, 3)
+    assert cfg.kl_weight_dict == {0: 1.0, 1: 8.0}
+    assert cfg.recon_weight_dict == {0: 4.0 / 8.0, 1: 8.0}
+
+
+def test_floor_vs_ceil_level_sizes():
+    """models.py:69 floor-divides the input size per level while the
+    activations follow ceil-mode pooling (pulpo.py:93-96); they disagree
+    on odd intermediate dims. floor_level_sizes feeds only the
+    nondiagonal-KL inshape."""
+    cfg = PULPoConfig(input_size=(84, 90, 104), total_levels=4, latent_levels=3)
+    # ceil chain: 84 -> 42 -> 21 -> 11 ; floor: 84//2, 84//4, 84//8
+    assert cfg.level_sizes == {0: (42, 45, 52), 1: (21, 23, 26), 2: (11, 12, 13)}
+    assert cfg.floor_level_sizes == {0: (42, 45, 52), 1: (21, 22, 26), 2: (10, 11, 13)}
+    assert cfg.level_sizes[1] != cfg.floor_level_sizes[1]
+
+    # the nondiagonal KL normalization uses the *actual* posterior shape
+    # (DIVERGENCES.md #4): identical to the reference on even sizes
+    even = PULPoConfig(input_size=(64, 64, 64), total_levels=3, latent_levels=2)
+    assert even.level_sizes == even.floor_level_sizes
