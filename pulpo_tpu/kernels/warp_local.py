@@ -39,7 +39,10 @@ def local_bound(spatial: tuple[int, ...]) -> float:
     return min(0.5 * (s - 1) / s for s in spatial)
 
 
-def _pick_slab(d: int, target: int = 8) -> int:
+def _pick_slab(d: int, target: int = 4) -> int:
+    # target=4 keeps the 27-tap stencil's live temporaries inside the
+    # 16M VMEM scoped-stack limit at the level-0 shape (measured: bz=8
+    # needs 23.3M)
     """Largest divisor of d that is <= target (static z-slab height)."""
     for c in range(min(d, target), 0, -1):
         if d % c == 0:
@@ -47,8 +50,18 @@ def _pick_slab(d: int, target: int = 8) -> int:
     return 1
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def _step_kernel_3d(hbm_ref, out_ref, vbuf, sem, *, bz: int, spatial):
-    """One (b, z-slab) grid step: out = vec + trilinear(vec, grid+vec)."""
+    """One (b, z-slab) grid step: out = vec + trilinear(vec, grid+vec).
+
+    The input arrives padded so the DMA'd window has tile-aligned
+    trailing dims (sublane multiple of 8, lane multiple of 128 — Mosaic
+    rejects unaligned memref slices); the kernel reads only the live
+    (S1+2, S2+2) halo region.
+    """
     b = pl.program_id(0)
     zi = pl.program_id(1)
     S0, S1, S2 = spatial
@@ -61,11 +74,12 @@ def _step_kernel_3d(hbm_ref, out_ref, vbuf, sem, *, bz: int, spatial):
     center = vbuf[:, 1:bz + 1, 1:S1 + 1, 1:S2 + 1]  # (3, bz, S1, S2)
 
     # absolute source coordinates, align_corners=False + border clamp
+    # (iota must be integer-typed for Mosaic; cast after)
     shape = (bz, S1, S2)
-    gz = jax.lax.broadcasted_iota(jnp.float32, shape, 0) + (zi * bz).astype(
+    gz = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + zi * bz).astype(
         jnp.float32)
-    gy = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
-    gx = jax.lax.broadcasted_iota(jnp.float32, shape, 2)
+    gy = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+    gx = jax.lax.broadcasted_iota(jnp.int32, shape, 2).astype(jnp.float32)
     rel = []
     for a, g, s in ((0, gz, S0), (1, gy, S1), (2, gx, S2)):
         loc = g + center[a]
@@ -88,21 +102,14 @@ def _step_kernel_3d(hbm_ref, out_ref, vbuf, sem, *, bz: int, spatial):
     out_ref[0] = jnp.stack(acc, axis=0)
 
 
-def _step_kernel_2d(hbm_ref, out_ref, vbuf, sem, *, bz: int, spatial):
-    b = pl.program_id(0)
-    zi = pl.program_id(1)
+def _step_kernel_2d(in_ref, out_ref, *, spatial):
+    """2D fields are small: one whole (padded) field per grid step."""
     S0, S1 = spatial
-
-    dma = pltpu.make_async_copy(
-        hbm_ref.at[b, :, pl.ds(zi * bz, bz + 2)], vbuf, sem)
-    dma.start()
-    dma.wait()
-
-    center = vbuf[:, 1:bz + 1, 1:S1 + 1]
-    shape = (bz, S1)
-    gz = jax.lax.broadcasted_iota(jnp.float32, shape, 0) + (zi * bz).astype(
-        jnp.float32)
-    gy = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
+    vbuf = in_ref[0]  # (2, S0p, S1p)
+    center = vbuf[:, 1:S0 + 1, 1:S1 + 1]
+    shape = (S0, S1)
+    gz = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+    gy = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
     rel = []
     for a, g, s in ((0, gz, S0), (1, gy, S1)):
         loc = g + center[a]
@@ -114,7 +121,7 @@ def _step_kernel_2d(hbm_ref, out_ref, vbuf, sem, *, bz: int, spatial):
     for oz in range(3):
         for oy in range(3):
             weight = w[0][oz] * w[1][oy]
-            tap = vbuf[:, oz:oz + bz, oy:oy + S1]
+            tap = vbuf[:, oz:oz + S0, oy:oy + S1]
             for c in range(2):
                 acc[c] = acc[c] + weight * tap[c]
     out_ref[0] = jnp.stack(acc, axis=0)
@@ -132,33 +139,55 @@ def _squaring_step_pallas(vec: jnp.ndarray, interpret: bool = False) -> jnp.ndar
     # channels-first for clean (sublane, lane) = (S-2, S-1) tiling
     perm = (0, ndims + 1) + tuple(range(1, ndims + 1))
     vcf = jnp.transpose(vec.astype(jnp.float32), perm)  # (B, nd, *spatial)
-    pad = ((0, 0), (0, 0)) + ((1, 1),) * ndims
+
     # zero padding is exact: the clamped source coordinate gives the
-    # out-of-volume taps a hat weight of exactly 0
-    vp = jnp.pad(vcf, pad)
-
-    bz = _pick_slab(spatial[0])
-    kern = _step_kernel_3d if ndims == 3 else _step_kernel_2d
-    kern = functools.partial(kern, bz=bz, spatial=spatial)
-
-    out_block = (1, ndims) + (bz,) + spatial[1:]
-    out = pl.pallas_call(
-        kern,
-        grid=(b, spatial[0] // bz),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            out_block,
-            lambda bi, zi: (bi, 0, zi) + (0,) * (ndims - 1),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, ndims, *spatial), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((ndims, bz + 2) + tuple(s + 2 for s in spatial[1:]),
-                       jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(vp)
+    # out-of-volume taps a hat weight of exactly 0. The trailing two
+    # dims additionally pad up to the f32 (8, 128) tile so DMA'd /
+    # blocked windows are tile-aligned (Mosaic requirement).
+    if ndims == 3:
+        S0, S1, S2 = spatial
+        s1p = _round_up(S1 + 2, 8)
+        s2p = _round_up(S2 + 2, 128)
+        vp = jnp.pad(vcf, ((0, 0), (0, 0), (1, 1),
+                           (1, s1p - S1 - 1), (1, s2p - S2 - 1)))
+        bz = _pick_slab(S0)
+        kern = functools.partial(_step_kernel_3d, bz=bz, spatial=spatial)
+        out = pl.pallas_call(
+            kern,
+            grid=(b, S0 // bz),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, ndims, bz, S1, S2),
+                lambda bi, zi: (bi, 0, zi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, ndims, S0, S1, S2), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((ndims, bz + 2, s1p, s2p), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(vp)
+    else:
+        S0, S1 = spatial
+        s0p = _round_up(S0 + 2, 8)
+        s1p = _round_up(S1 + 2, 128)
+        vp = jnp.pad(vcf, ((0, 0), (0, 0),
+                           (1, s0p - S0 - 1), (1, s1p - S1 - 1)))
+        kern = functools.partial(_step_kernel_2d, spatial=spatial)
+        out = pl.pallas_call(
+            kern,
+            grid=(b,),
+            in_specs=[pl.BlockSpec(
+                (1, ndims, s0p, s1p), lambda bi: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(
+                (1, ndims, S0, S1), lambda bi: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, ndims, S0, S1), jnp.float32),
+            interpret=interpret,
+        )(vp)
 
     inv = (0,) + tuple(range(2, ndims + 2)) + (1,)
     return jnp.transpose(out, inv).astype(orig_dtype)
@@ -170,10 +199,20 @@ def _squaring_step_xla(vec: jnp.ndarray) -> jnp.ndarray:
     return vec + warp_image(vec, vec)
 
 
+# below this voxel count the per-slab grid/DMA overhead loses to the
+# XLA gather (measured on v5e: 1.9x win at 20x24x28=13k, 11x loss at
+# 10x12x14=1.7k; scripts/bench_warp_kernel.py)
+MIN_PALLAS_VOXELS = 8000
+
+
 @jax.custom_vjp
 def squaring_step(vec: jnp.ndarray) -> jnp.ndarray:
     """One guarded scaling-and-squaring step: Pallas stencil when the
     field is sub-voxel (exactness bound), XLA gather otherwise."""
+    import math
+
+    if math.prod(vec.shape[1:-1]) < MIN_PALLAS_VOXELS:
+        return _squaring_step_xla(vec)
     bound = local_bound(vec.shape[1:-1])
     safe = jnp.max(jnp.abs(vec)) <= bound
     return jax.lax.cond(safe, _squaring_step_pallas, _squaring_step_xla, vec)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from pulpo_tpu.config import PULPoConfig
 from pulpo_tpu.models.pulpo import PULPoModule, prior_like
 from pulpo_tpu.ops.resize import avg_pool_ceil
-from pulpo_tpu.ops.warp import integrate_svf, resize_vecfield, warp_image
+from pulpo_tpu.ops.warp import integrate_svf_auto, resize_vecfield, warp_image
 
 LevelDict = dict[int, jnp.ndarray]
 
@@ -48,7 +48,8 @@ def combine_dfs(
 
     final: LevelDict = {}
     for l in reversed(range(K)):
-        integ = integrate_svf(combined[l].astype(jnp.float32), nsteps=cfg.nsteps)
+        # combine_dfs runs in non-vmapped contexts -> Pallas-eligible
+        integ = integrate_svf_auto(combined[l].astype(jnp.float32), nsteps=cfg.nsteps)
         cur_sz = integ.shape[1:-1]
         target = (
             cfg.input_size

@@ -143,6 +143,25 @@ def integrate_svf(vec: jnp.ndarray, nsteps: int = 7) -> jnp.ndarray:
     return vec
 
 
+def integrate_svf_auto(vec: jnp.ndarray, nsteps: int = 7) -> jnp.ndarray:
+    """integrate_svf, routed through the Pallas halo-stencil kernel on
+    TPU (kernels/warp_local.py: 1.8-2.3x faster at level-res shapes,
+    with a runtime sub-voxel guard + XLA fallback for exactness).
+
+    Use only in non-vmapped contexts (deterministic predict, mean-SVF
+    combine): under vmap the runtime guard's lax.cond lowers to a select
+    that runs both branches. Set PULPO_NO_PALLAS_WARP=1 to disable.
+    """
+    import os
+
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("PULPO_NO_PALLAS_WARP")):
+        from pulpo_tpu.kernels.warp_local import integrate_svf_pallas
+
+        return integrate_svf_pallas(vec, nsteps)
+    return integrate_svf(vec, nsteps)
+
+
 def resize_vecfield(
     x: jnp.ndarray,
     vel_resize: float,
