@@ -58,6 +58,44 @@ def test_nan_guard_fires():
     assert bool(metrics["nan_flag"])
 
 
+def test_nan_guard_freezes_state():
+    """A NaN at step k must leave the dumped/live state equal to the
+    state *entering* step k — no poisoned update is ever applied
+    (DIVERGENCES.md #16; reference models.py:188-194 saves pre-update
+    but still applies the NaN gradients)."""
+    cfg = tiny_cfg()
+    model = PULPoModel(cfg)
+    state, tx = create_train_state(model, seed=0)
+    step = jax.jit(make_train_step(model, tx))
+    good = make_batch(cfg)
+    bad = make_batch(cfg, seed=1)
+    bad["x"] = bad["x"].at[0].set(jnp.nan)
+
+    state, _ = step(state, good)  # step 1: clean
+    params_entering = jax.device_get(state.params)
+    opt_entering = jax.device_get(state.opt_state)
+
+    state, metrics = step(state, bad)  # step 2: NaN
+    assert bool(metrics["nan_flag"])
+    for a, b in zip(jax.tree.leaves(params_entering),
+                    jax.tree.leaves(jax.device_get(state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt_entering),
+                    jax.tree.leaves(jax.device_get(state.opt_state))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # step counter still advances (run identity), params do not
+    assert int(state.step) == 2
+
+    # a later clean batch also cannot move the params once... it can:
+    # the flag is per-step; the host loop stops the run. Clean steps
+    # after a transient NaN resume updating:
+    state, metrics = step(state, good)
+    assert not bool(metrics["nan_flag"])
+    assert not np.allclose(
+        np.asarray(jax.tree.leaves(params_entering)[0]),
+        np.asarray(jax.tree.leaves(jax.device_get(state.params))[0]))
+
+
 def test_regularizer_jdet_runs():
     cfg = tiny_cfg(regularizer="jdet")
     model = PULPoModel(cfg)
