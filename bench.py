@@ -24,12 +24,24 @@ import os
 import sys
 import time
 
-# persistent compile cache: the relay's AOT TPU compiles run 45+ min for
-# the full-res UQ program; cache hits make reruns of an unchanged
-# program near-instant. Must be set before jax initializes.
+# persistent compile cache: the relay's AOT TPU compiles run 45+ min
+# for the full-res UQ program; cache hits make reruns of an unchanged
+# program near-instant. NOTE: env vars are NOT enough here — the axon
+# sitecustomize imports jax at interpreter startup, before this module
+# runs, so JAX_COMPILATION_CACHE_DIR set from Python is never read
+# (this was the round-2 "cache did not capture the UQ executable" bug:
+# only shells that exported the var ever wrote entries). jax.config
+# updates work regardless of import order.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 BASELINE_PAIRS_PER_SEC = 20.0
 N_SAMPLES = 32
@@ -117,9 +129,15 @@ def bench_uq(input_size, batch: int, chunk: int | None, iters: int):
         salt = jnp.abs(prev_scalar * 1e6).astype(jnp.int32)
         return jax.random.fold_in(jax.random.fold_in(base, i), salt)
 
+    # IMPORTANT: jax.block_until_ready does NOT block under the axon
+    # relay (measured round 3: a 64-deep chained-matmul program
+    # "completed" in 0.000s). Only a host transfer of a value that is
+    # data-dependent on the result proves execution finished — every
+    # timed region must END in one. Round-2's self-reported numbers
+    # lacked this and were inflated.
     t0 = time.perf_counter()
     out = run(rng)  # warmup / compile
-    jax.block_until_ready(out)
+    float(jax.device_get(out[1].mean()))
     print(f"# warmup+compile {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
@@ -128,7 +146,7 @@ def bench_uq(input_size, batch: int, chunk: int | None, iters: int):
     for i in range(iters):
         out = run(mix_key(rng, i, prev))
         prev = out[1].mean()
-    jax.block_until_ready(out)
+    float(jax.device_get(prev))  # force completion of the full chain
     dt = time.perf_counter() - t0
     return iters * batch / dt
 
@@ -149,18 +167,21 @@ def bench_train(input_size, batch: int, iters: int):
     x, y = _volume_pair(batch, cfg.input_size)
     batch_data = {"x": x, "y": y}
     state, metrics = step(state, batch_data)  # compile
-    jax.block_until_ready(metrics["total_loss"])
+    float(jax.device_get(metrics["total_loss"]))
 
-    # steps chain through the donated state: no overlap/caching possible
+    # steps chain through the donated state: no overlap/caching
+    # possible; the final host fetch forces real completion (the relay
+    # ignores block_until_ready, see bench_uq)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch_data)
-    jax.block_until_ready(metrics["total_loss"])
+    float(jax.device_get(metrics["total_loss"]))
     dt = time.perf_counter() - t0
     return iters * batch / dt
 
 
 def main():
+    _enable_compile_cache()
     input_size = (160, 192, 224)
     small = bool(os.environ.get("PULPO_BENCH_SMALL"))
     if small:  # quick CI / CPU sanity mode

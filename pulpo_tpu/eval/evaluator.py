@@ -30,6 +30,21 @@ from pulpo_tpu.ops.warp import warp_image, warp_landmarks
 from pulpo_tpu.uq.predict import predict_with_uncertainty
 
 
+def _pad_landmarks(lm: jnp.ndarray, bucket: int = 32) -> jnp.ndarray:
+    """Zero-pad (B, n_lm, nd) landmarks up to the next `bucket` multiple.
+
+    Keeps the jitted UQ program's traced shape fixed across subjects with
+    different landmark counts (each distinct n_lm would otherwise
+    recompile the full program). Zero coordinates are valid gather
+    indices; callers slice the first n_lm rows off the result.
+    """
+    n = lm.shape[1]
+    target = -(-max(n, 1) // bucket) * bucket
+    if target == n:
+        return lm
+    return jnp.pad(lm, ((0, 0), (0, target - n), (0, 0)))
+
+
 class Evaluate:
     """Evaluation driver (reference evaluate.py:31-59)."""
 
@@ -165,7 +180,7 @@ class Evaluate:
     # ------------------------------------------------------------------
 
     def predict(self, batch, num_samples=20, deterministic=False,
-                keep_samples=True):
+                keep_samples="auto"):
         """Returns (preds, all_preds) in the reference tuple schema:
 
         preds = [y_pred, df_pred, seg_pred, outputs, individual_dfs,
@@ -174,13 +189,25 @@ class Evaluate:
                  final_df_std, all_outputs, all_individual_dfs,
                  all_combined_dfs, all_final_dfs, all_warped_seg]
 
-        `keep_samples=True` (default, matching the reference's retention
-        at evaluate.py:220-235) keeps all N per-sample outputs/dfs; set
-        False to stream statistics only (all_preds[4..6] become None) —
-        the memory-bounded mode for large N at full resolution.
+        `keep_samples=True` (the reference's retention, evaluate.py:
+        220-235) keeps all N per-sample outputs/dfs; False streams
+        statistics only (all_preds[4..6] become None) — the memory-
+        bounded mode for large N at full resolution. The default "auto"
+        retains only when the buffers fit the HBM budget
+        (uq.predict.decide_keep_samples), so the flagship full-res N=32
+        eval cannot OOM by default.
         """
         model, variables = self.model, self.variables
         x, y = jnp.asarray(batch["x"]), jnp.asarray(batch["y"])
+        if keep_samples == "auto" and num_samples > 1:
+            from pulpo_tpu.uq.predict import decide_keep_samples
+
+            dtype_bytes = 2 if model.dtype == jnp.bfloat16 else 4
+            keep_samples = decide_keep_samples(
+                model.cfg, num_samples, batch=x.shape[0],
+                dtype_bytes=dtype_bytes)
+        elif keep_samples == "auto":
+            keep_samples = True
         seg_x = batch.get("seg_x")
         if deterministic and num_samples != 1:
             raise ValueError(
@@ -352,10 +379,18 @@ class Evaluate:
                 # lm threads through the UQ program so the per-sample
                 # landmark warps use the SAME posterior draws as the
                 # Var/NCC maps (the reference couples them via
-                # all_final_dfs, evaluate.py:1547-1556)
+                # all_final_dfs, evaluate.py:1547-1556). Pad the count
+                # to a fixed bucket: per-subject n_lm variation would
+                # otherwise retrace (and on the relay recompile for ~1h)
+                # the whole UQ program per distinct count.
+                if has_lms:
+                    n_lm = int(np.asarray(lm_x).shape[1])
+                    lm_in = _pad_landmarks(jnp.asarray(lm_x))
+                else:
+                    lm_in = None
                 res = predict_with_uncertainty(
                     model, variables, x, y, num_samples, self._next_rng(),
-                    lm=jnp.asarray(lm_x) if has_lms else None)
+                    lm=lm_in)
                 moved_std = np.asarray(res.output_std[0][0])  # (*sp,)
                 mse = np.asarray(res.output_mse[0][0])  # streamed over N
                 var = moved_std**2
@@ -365,7 +400,8 @@ class Evaluate:
                 if has_lms:
                     lm_hat = np.asarray(
                         warp_landmarks(jnp.asarray(lm_x), res.final_dfs[0]))
-                    warped_lms = np.asarray(res.sample_landmarks[:, 0])
+                    # drop the padded rows host-side
+                    warped_lms = np.asarray(res.sample_landmarks[:, 0, :n_lm])
                     all_metrics[2, k, j] = M.lms_var(warped_lms).mean()
                     all_metrics[3, k, j] = M.lms_corr(
                         lm_hat[0], warped_lms, np.asarray(lm_y)[0])
@@ -590,7 +626,9 @@ class Evaluate:
                         pred_seg = warp_image(jnp.asarray(seg_x), final_dfs[0])
                         all_metrics[self.metric_names.index("Dice"), k, j] = 1 - float(
                             L.soft_dice_loss(pred_seg, jnp.asarray(seg_y)) / num_pixels)
-                rows.append(np.concatenate(np.nanmean(all_metrics, axis=-1).T))
+            # one row per model (all loaders aggregated), matching the
+            # index=model_names frame below (evaluate.py:1794-1799)
+            rows.append(np.concatenate(np.nanmean(all_metrics, axis=-1).T))
         sets = np.repeat(self.loader_names, self.num_metrics)
         mets = np.tile(self.metric_names, self.num_datasets)
         df = pd.DataFrame(np.stack(rows), index=model_names,

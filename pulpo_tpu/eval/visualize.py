@@ -436,7 +436,10 @@ def visualize(batch, preds, visualizations, all_preds=None, rowparams=None,
 
     rowparams = rowparams or {}
     rows = len(visualizations)
-    fig, ax = plt.subplots(rows, 4)
+    # the reference hardcodes 4 columns (evaluate.py:705); widen for
+    # configs with more latent levels so per-level rows don't overflow
+    ncols = max(4, latent_levels)
+    fig, ax = plt.subplots(rows, ncols)
     fig.set_figwidth(30)
     fig.set_figheight(30 * rows / max(latent_levels, 1))
     if title:

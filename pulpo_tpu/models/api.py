@@ -154,16 +154,18 @@ class PULPoModel:
         acts = self.module.apply(
             variables, x, y, train=False, method=PULPoModule.encode
         )
-
-        def decode_one(key):
-            return self.module.apply(
-                variables, x, acts, False, False,
-                rngs={"sample": key}, method=PULPoModule.decode,
-            )
-
+        # N samples folded into the batch axis (N*B, sample-major) with
+        # one key per sample — same draws as the chunked UQ engine
+        # (uq/predict.py) for the same rng, whatever the chunking
         keys = jax.random.split(rng, N)
-        outs = jax.vmap(decode_one)(keys)  # each leaf (N, B, ...)
-        swap = lambda d: {k: jnp.swapaxes(v, 0, 1) for k, v in d.items()}
+        outs = self.module.apply(
+            variables, x, acts, False, False,
+            method=PULPoModule.decode, n_samples=N, sample_keys=keys,
+        )
+        b = x.shape[0]
+        swap = lambda d: {
+            k: jnp.swapaxes(v.reshape(N, b, *v.shape[1:]), 0, 1)
+            for k, v in d.items()}
         return swap(outs[7]), swap(outs[4])
 
     @functools.cached_property

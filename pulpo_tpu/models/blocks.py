@@ -32,8 +32,68 @@ def torch_bias_init(fan_in: int) -> Callable:
     return init
 
 
+class _RawConv(nn.Module):
+    """Channels-last conv with nn.Conv-compatible parameters
+    ((*window, in, out) kernel + (out,) bias under the same names), but
+    with an optional SPLIT application: ``__call__(x, x2)`` computes
+    ``conv(concat([x, x2], -1))`` as ``conv_a(x) + conv_b(x2)`` using
+    slices of the ONE kernel — mathematically identical (convolution is
+    linear in channels) without ever materializing the concat (the
+    measured v5e HBM breakdown showed an 11.25G concat+layout-copy for
+    the level-0 merge conv input, PERF.md).
+
+    If ``x2`` has a smaller batch (B) than ``x`` (S*B, samples folded
+    into the batch axis), its half is convolved ONCE per pair and
+    broadcast across the S samples — the per-pair dedupe of the
+    feedback-merge activation half (reference pulpo.py:235-240 pays it
+    per sample)."""
+
+    features: int
+    kernel_size: int = 3
+    padding: str | int = "SAME"
+    dtype: jnp.dtype | None = None
+
+    def _conv(self, x, kernel):
+        ndims = x.ndim - 2
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad)] * ndims
+        # flax's channels-last dimension numbers (linear.py)
+        nd = x.ndim
+        lhs_spec = (0, nd - 1) + tuple(range(1, nd - 1))
+        rhs_spec = (nd - 1, nd - 2) + tuple(range(0, nd - 2))
+        dn = jax.lax.ConvDimensionNumbers(lhs_spec, rhs_spec, lhs_spec)
+        return jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1,) * ndims, padding=pad,
+            dimension_numbers=dn)
+
+    @nn.compact
+    def __call__(self, x, x2=None):
+        ndims = x.ndim - 2
+        c1 = x.shape[-1]
+        c2 = 0 if x2 is None else x2.shape[-1]
+        c_in = c1 + c2
+        kshape = (self.kernel_size,) * ndims + (c_in, self.features)
+        fan_in = c_in * self.kernel_size**ndims
+        kernel = self.param("kernel", torch_kernel_init, kshape)
+        bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        dtype = self.dtype or jnp.result_type(x.dtype, kernel.dtype)
+        x, kernel, bias = (a.astype(dtype) for a in (x, kernel, bias))
+        y = self._conv(x, kernel if x2 is None else kernel[..., :c1, :])
+        if x2 is not None:
+            y2 = self._conv(x2.astype(dtype), kernel[..., c1:, :])
+            if x2.shape[0] != x.shape[0]:
+                s = x.shape[0] // x2.shape[0]
+                assert s * x2.shape[0] == x.shape[0], (x.shape, x2.shape)
+                y2 = jnp.broadcast_to(y2[None], (s, *y2.shape)).reshape(
+                    s * y2.shape[0], *y2.shape[1:])
+            y = y + y2
+        return y + bias
+
+
 class TorchConv(nn.Module):
-    """nn.Conv with torch-style kernel/bias initialization."""
+    """Conv with torch-style kernel/bias initialization (and the split
+    application of _RawConv via the optional ``x2``)."""
 
     features: int
     kernel_size: int = 3
@@ -41,20 +101,13 @@ class TorchConv(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
-        ndims = x.ndim - 2
-        fan_in = x.shape[-1] * self.kernel_size**ndims
-        pad = self.padding
-        if isinstance(pad, int):
-            pad = [(pad, pad)] * ndims
-        return nn.Conv(
-            self.features,
-            kernel_size=(self.kernel_size,) * ndims,
-            padding=pad,
-            kernel_init=torch_kernel_init,
-            bias_init=torch_bias_init(fan_in),
-            dtype=self.dtype,
-        )(x)
+    def __call__(self, x, x2=None):
+        # child named Conv_0 so the param tree matches the previous
+        # nn.Conv-based implementation (checkpoints, torch importer)
+        return _RawConv(
+            self.features, self.kernel_size, self.padding, self.dtype,
+            name="Conv_0",
+        )(x, x2)
 
 
 class ConvUnit(nn.Module):
@@ -66,8 +119,8 @@ class ConvUnit(nn.Module):
     bn_axis_name: str | None = None  # set to sync batch stats across DP replicas
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
-        x = TorchConv(self.features, 3, "SAME", dtype=self.dtype)(x)
+    def __call__(self, x, train: bool = True, x2=None):
+        x = TorchConv(self.features, 3, "SAME", dtype=self.dtype)(x, x2)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,  # torch momentum=0.1 -> running = 0.9*run + 0.1*batch
@@ -88,9 +141,12 @@ class ConvSequence(nn.Module):
     bn_axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
-        for _ in range(self.depth):
-            x = ConvUnit(self.features, self.dtype, self.bn_axis_name)(x, train)
+    def __call__(self, x, train: bool = True, x2=None):
+        """`x2` feeds the FIRST ConvUnit's split application: equivalent
+        to calling the sequence on concat([x, x2], -1)."""
+        for i in range(self.depth):
+            x = ConvUnit(self.features, self.dtype, self.bn_axis_name)(
+                x, train, x2 if i == 0 else None)
         return x
 
 

@@ -31,7 +31,7 @@ from flax import linen as nn
 from pulpo_tpu.config import PULPoConfig
 from pulpo_tpu.models.blocks import ConvSequence, MuSigmaBlock, VelocityField
 from pulpo_tpu.ops.resize import avg_pool_ceil, resize_linear
-from pulpo_tpu.ops.warp import integrate_svf, resize_vecfield, warp_image
+from pulpo_tpu.ops.warp import integrate_svf_auto, resize_vecfield, warp_image
 
 LevelDict = dict[int, jnp.ndarray]
 
@@ -75,11 +75,16 @@ class PULPoEncoder(nn.Module):
         num_channels = cfg.num_channels[cfg.lk_offset + self.level]
         h = down_activation
         if feedback is not None:
-            h = jnp.concatenate([feedback, down_activation], axis=-1)
+            # split application == ConvSequence(concat([feedback, act]))
+            # (reference pulpo.py:235-240) without materializing the
+            # 5*n0-channel concat (the dominant HBM temp, PERF.md); when
+            # feedback carries folded samples (S*B) and the activation is
+            # per-pair (B), the activation half is convolved once per
+            # pair (blocks._RawConv)
             h = ConvSequence(
                 num_channels, depth=2, dtype=self.dtype,
                 bn_axis_name=self.bn_axis_name, name="sample_merge_block",
-            )(h, train)
+            )(feedback, train, x2=down_activation)
         mu, sigma = MuSigmaBlock(cfg.zdim, dtype=self.dtype, name="mu_sigma")(h)
         return mu, sigma
 
@@ -111,8 +116,12 @@ class SVFDecoder(nn.Module):
             combined = parent + individual_df
 
         # integration happens in f32 regardless of compute dtype: the
-        # 7-step self-warp compounds rounding error
-        integrated = integrate_svf(combined.astype(jnp.float32), nsteps=cfg.nsteps)
+        # 7-step self-warp compounds rounding error. Auto-routed through
+        # the Pallas halo stencil on TPU (kernels/warp_local.py) — the
+        # decode is sample-batched (never vmapped), so the runtime
+        # exactness guard's lax.cond stays a real branch.
+        integrated = integrate_svf_auto(
+            combined.astype(jnp.float32), nsteps=cfg.nsteps)
 
         vel_resize_output = 1.0 / (outsize[0] / insize[0])
         final_df = resize_vecfield(integrated, vel_resize_output, out_size=outsize)
@@ -174,9 +183,49 @@ class Autoencoder(nn.Module):
         down_activations: LevelDict,
         deterministic: bool = False,
         train: bool = True,
+        n_samples: int = 1,
+        sample_keys: jnp.ndarray | None = None,
     ) -> tuple[LevelDict, ...]:
+        """With ``n_samples=S > 1``, S posterior draws are decoded with
+        the samples FOLDED INTO THE BATCH AXIS ((S, B) flattened to S*B,
+        sample-major) instead of a vmap over per-sample decodes. This is
+        the TPU-native shape for the reference's N-sample loop
+        (evaluate.py:213-236): plain batched convs (no batching rules,
+        no lax.cond-under-vmap blocking the Pallas VecInt stencil), the
+        per-pair tensors (x pyramid, down activations, coarsest-level
+        posterior moments, the activation half of every feedback-merge
+        conv) are computed ONCE per pair and broadcast, and the moving
+        image is never copied per sample (ops/warp.py sample-tiled
+        gather).
+
+        ``sample_keys``: (S,) PRNG keys, one per posterior sample. Draws
+        depend only on (key, level), so results are invariant to how
+        callers chunk S — required by the streaming UQ engine. Mandatory
+        when S > 1 and not deterministic.
+        """
         cfg = self.cfg
+        S = n_samples
+        B = x.shape[0]
         level_x = self._level_x_pyramid(x)
+
+        def tile(v):
+            """(B, ...) per-pair -> (S*B, ...) sample-major broadcast."""
+            if S == 1:
+                return v
+            return jnp.broadcast_to(v[None], (S, *v.shape)).reshape(
+                S * v.shape[0], *v.shape[1:])
+
+        def draw_eps(l: int, shape: tuple[int, ...], dtype) -> jnp.ndarray:
+            if S == 1 and sample_keys is None:
+                return jax.random.normal(
+                    self.make_rng("sample"), shape, jnp.float32).astype(dtype)
+            assert sample_keys is not None, "n_samples > 1 needs sample_keys"
+            per = (B, *shape[1:])
+            eps = jax.vmap(
+                lambda k: jax.random.normal(
+                    jax.random.fold_in(k, l), per, jnp.float32)
+            )(sample_keys)
+            return eps.reshape(shape).astype(dtype)
 
         mus: LevelDict = {}
         sigmas: LevelDict = {}
@@ -199,7 +248,11 @@ class Autoencoder(nn.Module):
         for l in reversed(range(cfg.latent_levels)):
             k = l + cfg.lk_offset
             if l == cfg.latent_levels - 1:
-                mus[l], sigmas[l] = self.encoders[str(l)](down_activations[k], None, train)
+                # coarsest level: the posterior head sees only the (per-
+                # pair) down activation — compute it once and broadcast
+                mu_pp, sigma_pp = self.encoders[str(l)](
+                    down_activations[k], None, train)
+                mus[l], sigmas[l] = tile(mu_pp), tile(sigma_pp)
                 parent_combined = None
             else:
                 down_size = down_activations[k].shape[1:-1]
@@ -234,9 +287,7 @@ class Autoencoder(nn.Module):
                 samples[l] = mus[l]
                 z = mus[l]
             else:
-                eps = jax.random.normal(
-                    self.make_rng("sample"), mus[l].shape, jnp.float32
-                ).astype(mus[l].dtype)
+                eps = draw_eps(l, mus[l].shape, mus[l].dtype)
                 samples[l] = mus[l] + sigmas[l] * eps
                 z = samples[l]
 
@@ -281,5 +332,10 @@ class PULPoModule(nn.Module):
     def encode(self, x, y, train: bool = False):
         return self.downpath(x, y, train=train)
 
-    def decode(self, x, down_activations, deterministic=False, train: bool = False):
-        return self.autoencoder(x, down_activations, deterministic, train)
+    def decode(self, x, down_activations, deterministic=False,
+               train: bool = False, n_samples: int = 1, sample_keys=None):
+        """Decode (optionally S posterior samples folded into the batch
+        axis, see Autoencoder.__call__). Output leaves are (S*B, ...),
+        sample-major — reshape(S, B, ...) recovers the sample axis."""
+        return self.autoencoder(x, down_activations, deterministic, train,
+                                n_samples=n_samples, sample_keys=sample_keys)

@@ -66,6 +66,10 @@ def warp_image(moving: jnp.ndarray, df: jnp.ndarray) -> jnp.ndarray:
     assert df.shape[-1] == ndims, (
         f"df shape {df.shape} incompatible with moving {moving.shape}"
     )
+    assert df.shape[0] % moving.shape[0] == 0, (
+        f"df batch {df.shape[0]} not a multiple of moving batch "
+        f"{moving.shape[0]}"
+    )
     coords = _source_coords(df, spatial)
 
     i0, i1, w = [], [], []
@@ -100,9 +104,16 @@ def warp_image(moving: jnp.ndarray, df: jnp.ndarray) -> jnp.ndarray:
     # Instead fold batch into a global flat index and gather from 1D
     # per-channel arrays (C small) or from (n, C) rows (C large, where
     # the C->lane padding is amortized).
-    batch_offset = (
-        jax.lax.broadcasted_iota(jnp.int32, (b,) + (1,) * ndims, 0) * n_in
-    )
+    #
+    # Sample-tiled broadcast: when df carries samples folded into its
+    # batch axis ((S, B) flattened to S*B, pulpo.py n_samples) while
+    # `moving` stays per-pair (B), row b' of df gathers from moving row
+    # b' % B — no S-fold copy of the moving image ever materializes.
+    b_df = df.shape[0]
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (b_df,) + (1,) * ndims, 0)
+    if b_df != b:
+        bidx = bidx % b
+    batch_offset = bidx * n_in
 
     out = None
     # 2**ndims corner gathers, fused by XLA with the weight combine.
@@ -126,7 +137,7 @@ def warp_image(moving: jnp.ndarray, df: jnp.ndarray) -> jnp.ndarray:
             g = jnp.take(moving.reshape(-1, c), gidx, axis=0)
         contrib = g * weight.reshape(-1, 1)
         out = contrib if out is None else out + contrib
-    return out.reshape(b, *out_spatial, c)
+    return out.reshape(b_df, *out_spatial, c)
 
 
 def integrate_svf(vec: jnp.ndarray, nsteps: int = 7) -> jnp.ndarray:

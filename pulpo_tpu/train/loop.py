@@ -110,20 +110,27 @@ class Trainer:
                 if self.profile_dir and step == 13:
                     jax.profiler.stop_trace()
 
-                # NaN guard (models.py:188-194), checked EVERY step like
-                # the reference. The fetch is of the *previous* step's
-                # flag (overlaps with this step's dispatch); the step
-                # itself freezes the state on NaN (train/step.py), so
-                # the emergency dump below is the pre-NaN state.
-                if prev_flag is not None and bool(jax.device_get(prev_flag)):
-                    print("NAN IN REGULARIZATION LOSS")
-                    self.ckpt.save_emergency(state, step)
-                    self.should_stop = True
-
                 if not self.should_stop:
                     state, metrics = train_step(state, batch)
                     step += 1
+
+                    # NaN guard (models.py:188-194), checked EVERY step
+                    # like the reference — but asynchronously: the
+                    # previous step's flag is inspected AFTER this step
+                    # has been dispatched, so the host never stalls the
+                    # device pipeline. The flag is sticky on-device and
+                    # the step freezes params/opt on it (train/step.py),
+                    # so any step dispatched past the NaN is a frozen
+                    # no-op and the emergency dump is the pre-NaN state.
+                    if prev_flag is not None and bool(jax.device_get(prev_flag)):
+                        print("NAN IN REGULARIZATION LOSS")
+                        self.ckpt.save_emergency(state, step)
+                        self.should_stop = True
                     prev_flag = metrics["nan_flag"]
+                    try:  # start the host copy without blocking
+                        prev_flag.copy_to_host_async()
+                    except AttributeError:
+                        pass
 
                     if pending is not None:
                         self._log_train(*pending)

@@ -29,6 +29,11 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     rng: jax.Array
+    # sticky on-device NaN latch: once a step trips the guard, every
+    # later step is a frozen no-op, so the host may detect the NaN
+    # asynchronously (steps late) without losing the pre-NaN state
+    nan_flag: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.bool_))
 
 
 def create_train_state(model: PULPoModel, seed: int = 0) -> tuple[TrainState, optax.GradientTransformation]:
@@ -135,10 +140,12 @@ def make_train_step(model: PULPoModel, tx: optax.GradientTransformation, axis_na
         new_params = optax.apply_updates(state.params, updates)
         # NaN guard (models.py:188-194): the reference dumps the state
         # *entering* the NaN step (torch.save before the optimizer step).
-        # We freeze params/opt/batch_stats on the flag, so the state the
-        # host later checkpoints is exactly the pre-NaN one even though
-        # the flag is fetched one step late (train/loop.py).
-        flag = metrics["nan_flag"]
+        # We freeze params/opt/batch_stats on a STICKY flag (OR over all
+        # steps so far), so the state the host later checkpoints is
+        # exactly the pre-NaN one however late the flag is fetched
+        # (train/loop.py reads it asynchronously, one step behind).
+        flag = jnp.logical_or(state.nan_flag, metrics["nan_flag"])
+        metrics["nan_flag"] = flag
         keep = lambda old, new: jax.tree.map(
             lambda o, n: jnp.where(flag, o, n.astype(o.dtype)), old, new)
         new_state = state.replace(
@@ -147,6 +154,7 @@ def make_train_step(model: PULPoModel, tx: optax.GradientTransformation, axis_na
             batch_stats=keep(state.batch_stats, new_bs),
             opt_state=keep(state.opt_state, new_opt),
             rng=rng,
+            nan_flag=flag,
         )
         return new_state, metrics
 

