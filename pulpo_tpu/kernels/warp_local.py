@@ -193,10 +193,155 @@ def _squaring_step_pallas(vec: jnp.ndarray, interpret: bool = False) -> jnp.ndar
     return jnp.transpose(out, inv).astype(orig_dtype)
 
 
+def _bwd_kernel_3d(v_hbm, g_hbm, out_ref, vbuf, gbuf, sem_v, sem_g, *,
+                   bz: int, spatial):
+    """Transpose of the 27-tap squaring step (one (b, z-slab) grid step).
+
+    Forward: out_i = v_i + sum_o w_o(v_i) * v_{i+o}. The VJP w.r.t. v
+    given cotangent gbar therefore has three parts:
+
+      identity:   vbar_i += gbar_i
+      data:       vbar_j += sum_o w_o(v_{j-o}) * gbar_{j-o}
+                  (the gather's transpose scatter, re-expressed as the
+                  SAME halo-stencil read pattern with reversed offsets —
+                  no scatter instruction exists or is needed)
+      coordinate: vbar_i^a += s'_a(i) * sum_o h'_a(r_a - o_a)
+                  * prod_{b!=a} h_b(r_b - o_b) * <v_{i+o}, gbar_i>
+
+    with h the hat function, h'(u) = -sign(u)*1_{|u|<1}, s'_a the
+    clip-masked grid scale S_a/(S_a-1). Weights for the data term are
+    evaluated at HALO positions (they belong to neighbouring output
+    voxels), so r/h are computed over the extended (slab+1) region; at
+    true volume borders the zero-padded gbar kills out-of-volume
+    contributions exactly.
+    """
+    b = pl.program_id(0)
+    zi = pl.program_id(1)
+    S0, S1, S2 = spatial
+
+    dma_v = pltpu.make_async_copy(
+        v_hbm.at[b, :, pl.ds(zi * bz, bz + 2)], vbuf, sem_v)
+    dma_g = pltpu.make_async_copy(
+        g_hbm.at[b, :, pl.ds(zi * bz, bz + 2)], gbuf, sem_g)
+    dma_v.start()
+    dma_g.start()
+    dma_v.wait()
+    dma_g.wait()
+
+    ez, ey, ex = bz + 2, S1 + 2, S2 + 2  # extended (haloed) region
+    ve = vbuf[:, :, :ey, :ex]            # (3, ez, ey, ex)
+    ge = gbuf[:, :, :ey, :ex]
+
+    # source offsets r_a and clip masks over the EXTENDED region; global
+    # coordinates of extended position p are p - 1 (+ slab offset in z)
+    eshape = (ez, ey, ex)
+    gz = (jax.lax.broadcasted_iota(jnp.int32, eshape, 0)
+          + (zi * bz - 1)).astype(jnp.float32)
+    gy = (jax.lax.broadcasted_iota(jnp.int32, eshape, 1) - 1).astype(
+        jnp.float32)
+    gx = (jax.lax.broadcasted_iota(jnp.int32, eshape, 2) - 1).astype(
+        jnp.float32)
+    r, dmask = [], []
+    for a, g, s in ((0, gz, S0), (1, gy, S1), (2, gx, S2)):
+        loc = g + ve[a]
+        src_un = loc * (s / (s - 1.0)) - 0.5
+        src = jnp.clip(src_un, 0.0, s - 1.0)
+        r.append(src - g)
+        dmask.append(((src_un > 0.0) & (src_un < s - 1.0)).astype(
+            jnp.float32) * (s / (s - 1.0)))
+
+    # per-axis hat values/derivatives at the three tap offsets
+    h = [[jnp.maximum(0.0, 1.0 - jnp.abs(ra - o)) for o in (-1.0, 0.0, 1.0)]
+         for ra in r]
+    dh = [[-jnp.sign(ra - o) * (jnp.abs(ra - o) < 1.0).astype(jnp.float32)
+           for o in (-1.0, 0.0, 1.0)] for ra in r]
+
+    ctr = lambda arr: arr[1:bz + 1, 1:S1 + 1, 1:S2 + 1]
+    g_ctr = [ge[c, 1:bz + 1, 1:S1 + 1, 1:S2 + 1] for c in range(3)]
+    acc = [g_ctr[c] for c in range(3)]        # identity + data terms
+    coord = [jnp.zeros_like(g_ctr[0]) for _ in range(3)]  # coordinate term
+
+    for oz in range(3):
+        for oy in range(3):
+            for ox in range(3):
+                # W_o * gbar over the extended region, then shifted by
+                # +o into the slab interior (data term)
+                w_e = h[0][oz] * h[1][oy] * h[2][ox]
+                z0, y0, x0 = 2 - oz, 2 - oy, 2 - ox  # 1 - (o-1)
+                sl = (slice(z0, z0 + bz), slice(y0, y0 + S1),
+                      slice(x0, x0 + S2))
+                for c in range(3):
+                    acc[c] = acc[c] + (w_e * ge[c])[sl]
+                # coordinate term pieces at interior positions
+                vtap = [vbuf[c, oz:oz + bz, oy:oy + S1, ox:ox + S2]
+                        for c in range(3)]
+                p_o = (vtap[0] * g_ctr[0] + vtap[1] * g_ctr[1]
+                       + vtap[2] * g_ctr[2])
+                hz, hy, hx = ctr(h[0][oz]), ctr(h[1][oy]), ctr(h[2][ox])
+                dz, dy, dx = ctr(dh[0][oz]), ctr(dh[1][oy]), ctr(dh[2][ox])
+                coord[0] = coord[0] + dz * hy * hx * p_o
+                coord[1] = coord[1] + hz * dy * hx * p_o
+                coord[2] = coord[2] + hz * hy * dx * p_o
+
+    # the clip-masked grid scale applies to the coordinate term only
+    out_ref[0] = jnp.stack(
+        [acc[a] + coord[a] * ctr(dmask[a]) for a in range(3)], axis=0)
+
+
 def _squaring_step_xla(vec: jnp.ndarray) -> jnp.ndarray:
     from pulpo_tpu.ops.warp import warp_image
 
     return vec + warp_image(vec, vec)
+
+
+def _squaring_step_bwd_pallas(vec: jnp.ndarray, g: jnp.ndarray,
+                              interpret: bool = False) -> jnp.ndarray:
+    """VJP of the (sub-voxel-exact) 27-tap squaring step, as a Pallas
+    halo stencil — replaces the gather + transpose-SCATTER pair XLA
+    emits for the backward, which dominates the training-time cost of
+    VecInt. vec, g: (B, *spatial, 3) channels-last; returns vbar with
+    the same layout. Exact iff max|vec| <= local_bound (same condition
+    as the forward; callers guard)."""
+    spatial = vec.shape[1:-1]
+    assert len(spatial) == 3 and vec.shape[-1] == 3
+    b = vec.shape[0]
+    S0, S1, S2 = spatial
+
+    perm = (0, 4, 1, 2, 3)
+
+    def prep(x):
+        xcf = jnp.transpose(x.astype(jnp.float32), perm)
+        s1p = _round_up(S1 + 2, 8)
+        s2p = _round_up(S2 + 2, 128)
+        return jnp.pad(xcf, ((0, 0), (0, 0), (1, 1),
+                             (1, s1p - S1 - 1), (1, s2p - S2 - 1))), s1p, s2p
+
+    vp, s1p, s2p = prep(vec)
+    gp, _, _ = prep(g)
+    # the backward keeps ~24 extended-region temporaries live (r, masks,
+    # per-axis hats and their derivatives) — use thinner slabs than the
+    # forward to stay inside the 16M scoped-VMEM limit
+    bz = _pick_slab(S0, target=2)
+    kern = functools.partial(_bwd_kernel_3d, bz=bz, spatial=spatial)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, S0 // bz),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 3, bz, S1, S2), lambda bi, zi: (bi, 0, zi, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3, S0, S1, S2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, bz + 2, s1p, s2p), jnp.float32),
+            pltpu.VMEM((3, bz + 2, s1p, s2p), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(vp, gp)
+    inv = (0, 2, 3, 4, 1)
+    return jnp.transpose(out, inv).astype(vec.dtype)
 
 
 # below this voxel count the per-slab grid/DMA overhead loses to the
@@ -223,9 +368,38 @@ def _squaring_step_fwd(vec):
 
 
 def _squaring_step_bwd(vec, g):
-    # backward through the XLA composition (numerically identical path)
-    _, vjp = jax.vjp(_squaring_step_xla, vec)
-    return vjp(g)
+    """Backward: Pallas transpose stencil when the saved input satisfies
+    the same sub-voxel bound the forward used (so fwd and bwd agree on
+    which composition ran), XLA vjp otherwise."""
+    import math
+    import os
+
+    # opt-in until validated on real Mosaic (golden-tested in interpret
+    # mode; enable with PULPO_PALLAS_BWD=1 — flips to default-on once a
+    # hardware train-step drive passes)
+    use_pallas = (
+        vec.shape[-1] == 3
+        and math.prod(vec.shape[1:-1]) >= MIN_PALLAS_VOXELS
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("PULPO_NO_PALLAS_WARP")
+        and bool(os.environ.get("PULPO_PALLAS_BWD"))
+    )
+    if not use_pallas:
+        _, vjp = jax.vjp(_squaring_step_xla, vec)
+        return vjp(g)
+
+    bound = local_bound(vec.shape[1:-1])
+    safe = jnp.max(jnp.abs(vec)) <= bound
+
+    def pallas_bwd(args):
+        return _squaring_step_bwd_pallas(*args)
+
+    def xla_bwd(args):
+        v, gg = args
+        _, vjp = jax.vjp(_squaring_step_xla, v)
+        return vjp(gg)[0]
+
+    return (jax.lax.cond(safe, pallas_bwd, xla_bwd, (vec, g)),)
 
 
 squaring_step.defvjp(_squaring_step_fwd, _squaring_step_bwd)

@@ -22,10 +22,28 @@ except AttributeError:  # pragma: no cover
 
 
 def replicate_state(state, mesh):
-    """Place a train state replicated over the mesh."""
+    """Place a train state replicated over the mesh.
+
+    Works on a multi-process (pod) mesh too: jax.device_put cannot
+    target non-addressable devices, so each process contributes its
+    (identical) full value via make_array_from_process_local_data;
+    typed PRNG keys are unwrapped to their raw uint32 data for the
+    transfer and rewrapped after."""
+    import numpy as np
     from jax.sharding import NamedSharding
 
-    return jax.device_put(state, NamedSharding(mesh, P()))
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(state, sharding)
+
+    def rep(x):
+        if jax.dtypes.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+            raw = jax.make_array_from_process_local_data(
+                sharding, np.asarray(jax.random.key_data(x)))
+            return jax.random.wrap_key_data(raw)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(rep, state)
 
 
 def make_dp_train_step(model: PULPoModel, tx, mesh):

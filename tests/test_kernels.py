@@ -105,6 +105,44 @@ class TestWarpLocal:
         got = _squaring_step_pallas(vec, interpret=True)
         np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-7)
 
+    @pytest.mark.parametrize("shape", [
+        (1, 10, 12, 14, 3),
+        (2, 8, 9, 11, 3),  # odd sizes exercise slab/halo edges
+    ])
+    def test_bwd_stencil_matches_xla_vjp(self, shape):
+        """The Pallas transpose stencil (data + coordinate + identity
+        terms) must match jax.vjp through the XLA composition for
+        sub-voxel fields."""
+        from pulpo_tpu.kernels.warp_local import (
+            _squaring_step_bwd_pallas, _squaring_step_xla)
+
+        vec = self._random_subvoxel_field(shape, scale=0.95, seed=11)
+        rng = np.random.default_rng(12)
+        g = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        _, vjp = jax.vjp(_squaring_step_xla, vec)
+        ref = vjp(g)[0]
+        got = _squaring_step_bwd_pallas(vec, g, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_bwd_stencil_boundary_clamp(self):
+        """Fields pushing samples into the border clamp region still
+        agree (the clip mask zeroes the coordinate term there)."""
+        from pulpo_tpu.kernels.warp_local import (
+            _squaring_step_bwd_pallas, _squaring_step_xla, local_bound)
+
+        shape = (1, 8, 10, 12, 3)
+        b = local_bound(shape[1:-1])
+        # constant field at ~the bound drives edge voxels into clamping
+        vec = jnp.full(shape, 0.98 * b, jnp.float32)
+        rng = np.random.default_rng(13)
+        g = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        _, vjp = jax.vjp(_squaring_step_xla, vec)
+        ref = vjp(g)[0]
+        got = _squaring_step_bwd_pallas(vec, g, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
 
 def test_ncc_uses_kernel_and_matches_golden():
     """ncc_loss routed through box_sum_nd still matches torch (the torch

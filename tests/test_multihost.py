@@ -34,11 +34,17 @@ def _free_port() -> int:
 def worker_outputs(tmp_path_factory):
     outdir = tmp_path_factory.mktemp("mh")
     coord = f"127.0.0.1:{_free_port()}"
+    import os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(HERE.parent) + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
             [sys.executable, str(HERE / "multihost_worker.py"),
              str(pid), "2", coord, str(outdir)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
         )
         for pid in range(2)
     ]

@@ -131,6 +131,69 @@ def test_auto_chunk_divides_and_scales():
     assert auto_chunk(model.cfg, 8, dtype_bytes=4) == 8
 
 
+def test_retention_budget_decisions():
+    """keep_samples is a budget decision (VERDICT r2 item 6): retention
+    must be declined when the all_* buffers would not fit HBM, accepted
+    when they do, and auto_chunk must reserve the retained bytes."""
+    from pulpo_tpu.uq.predict import (auto_chunk, decide_keep_samples,
+                                      retention_bytes)
+
+    cfg_full = PULPoConfig(input_size=(160, 192, 224), total_levels=5,
+                           latent_levels=4, n0=32, dataset="synthetic")
+    rb = retention_bytes(cfg_full, 32, batch=1)
+    # full-res N=32 retained dfs/outputs are multi-GB (the round-2
+    # estimate was ~3.5G); sanity-band the model
+    assert 2e9 < rb < 8e9
+    # too-small budget: retention declined (streamed statistics only)
+    assert decide_keep_samples(cfg_full, 32, batch=1,
+                               hbm_budget=5e9) is False
+    # 16G-class chip: retention + a (shrunken) chunk working set fits
+    # post-restructure (split-weight convs removed the 11G concat temp)
+    assert decide_keep_samples(cfg_full, 32, batch=1,
+                               hbm_budget=0.75 * 16e9) is True
+    # tiny configs retain fine
+    assert decide_keep_samples(model.cfg, 8, hbm_budget=0.75 * 16e9) is True
+    # retained bytes shrink the chunk choice
+    c_plain = auto_chunk(cfg_full, 32, batch=1, hbm_budget=0.75 * 16e9)
+    c_ret = auto_chunk(cfg_full, 32, batch=1, hbm_budget=0.75 * 16e9,
+                       retained_bytes=6 * 10**9)
+    assert c_ret < c_plain
+
+    # Evaluate.predict's "auto" default must resolve to the budgeted
+    # decision (never the unconditional True of ADVICE r2's OOM trap)
+    from pulpo_tpu.eval.evaluator import Evaluate
+    from pulpo_tpu.models.api import PULPoModel as _M
+
+    ev = Evaluate()
+    ev.segs = False
+    ev.mask = False
+    ev.model = _M(cfg_full)
+    ev.variables = None
+
+    calls = {}
+
+    def fake_uq(model_, variables_, x_, y_, n_, rng_, mask=None,
+                keep_samples=None, **kw):
+        calls["keep_samples"] = keep_samples
+        raise RuntimeError("stop")
+
+    import pulpo_tpu.eval.evaluator as evmod
+
+    orig = evmod.predict_with_uncertainty
+    evmod.predict_with_uncertainty = fake_uq
+    try:
+        batch = {"x": np.zeros((1, 160, 192, 224, 1), np.float32),
+                 "y": np.zeros((1, 160, 192, 224, 1), np.float32)}
+        try:
+            ev.predict(batch, num_samples=32)
+        except RuntimeError:
+            pass
+    finally:
+        evmod.predict_with_uncertainty = orig
+    assert calls["keep_samples"] == decide_keep_samples(
+        cfg_full, 32, batch=1, dtype_bytes=4)
+
+
 def test_uq_masked_final_df_std():
     mask = jnp.ones_like(x)
     res_m = predict_with_uncertainty(model, variables, x, y, 4, jax.random.key(4), mask=mask)
