@@ -104,7 +104,7 @@ def bench_uq(input_size, batch: int, chunk: int | None, iters: int):
     import jax
     import jax.numpy as jnp
 
-    from pulpo_tpu.uq.predict import predict_with_uncertainty
+    from pulpo_tpu.uq.predict import _uq_impl, auto_chunk
 
     cfg, model = _make_model(input_size)
     t0 = time.perf_counter()
@@ -113,42 +113,40 @@ def bench_uq(input_size, batch: int, chunk: int | None, iters: int):
     print(f"# init {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
 
     x, y = _volume_pair(batch, cfg.input_size)
-    rng = jax.random.key(2)
+    if chunk is None:
+        chunk = auto_chunk(cfg, N_SAMPLES, batch=batch, dtype_bytes=2)
+    print(f"# chunk {chunk}", file=sys.stderr, flush=True)
 
-    def run(r):
-        res = predict_with_uncertainty(model, variables, x, y, N_SAMPLES, r, chunk=chunk)
-        return res.mean_outputs[0], res.output_std[0], res.final_df_std[0]
-
-    # Iterations are chained through the rng key: the next key mixes in a
-    # scalar from the previous result, so a remote/async runtime cannot
-    # overlap, reorder or cache the timed calls. The heavy program itself
-    # stays key-parameterized only (fast to re-compile / cache-friendly);
-    # the mixer is a trivial second jit.
+    # Relay measurement rules (PERF.md round 3):
+    # - jax.block_until_ready does NOT block; every timed call ends in a
+    #   host fetch of a result-dependent scalar.
+    # - calls are serialized by construction: each iteration's result is
+    #   fetched to the host before the next dispatch, so the relay can
+    #   neither overlap nor cache them (the key also differs per call).
+    # - warm per-call dispatch+fetch overhead is sub-second (measured
+    #   with an 8k matmul chain), small against the multi-second UQ
+    #   program. Wrapping the loop in an outer lax.scan instead brings
+    #   back hour-class relay compiles (round-3 note) — don't.
     @jax.jit
-    def mix_key(base, i, prev_scalar):
-        salt = jnp.abs(prev_scalar * 1e6).astype(jnp.int32)
-        return jax.random.fold_in(jax.random.fold_in(base, i), salt)
+    def run(v, xx, yy, base, i):
+        key = jax.random.fold_in(base, i)
+        res = _uq_impl(model, v, xx, yy, N_SAMPLES, key, None, chunk)
+        return res.output_std[0].mean().astype(jnp.float32)
 
-    # IMPORTANT: jax.block_until_ready does NOT block under the axon
-    # relay (measured round 3: a 64-deep chained-matmul program
-    # "completed" in 0.000s). Only a host transfer of a value that is
-    # data-dependent on the result proves execution finished — every
-    # timed region must END in one. Round-2's self-reported numbers
-    # lacked this and were inflated.
+    base = jax.random.key(2)
     t0 = time.perf_counter()
-    out = run(rng)  # warmup / compile
-    float(jax.device_get(out[1].mean()))
+    float(jax.device_get(run(variables, x, y, base, -1)))
     print(f"# warmup+compile {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
-    t0 = time.perf_counter()
-    prev = out[1].mean()
+    times = []
     for i in range(iters):
-        out = run(mix_key(rng, i, prev))
-        prev = out[1].mean()
-    float(jax.device_get(prev))  # force completion of the full chain
-    dt = time.perf_counter() - t0
-    return iters * batch / dt
+        t0 = time.perf_counter()
+        float(jax.device_get(run(variables, x, y, base, i)))
+        times.append(time.perf_counter() - t0)
+    print("# per-call s: " + " ".join(f"{t:.2f}" for t in times),
+          file=sys.stderr, flush=True)
+    return iters * batch / sum(times)
 
 
 def bench_train(input_size, batch: int, iters: int):
@@ -162,16 +160,23 @@ def bench_train(input_size, batch: int, iters: int):
 
     cfg, model = _make_model(input_size, batch_size=batch)
     state, tx = create_train_state(model, seed=0)
-    step = jax.jit(make_train_step(model, tx), donate_argnums=0)
 
     x, y = _volume_pair(batch, cfg.input_size)
     batch_data = {"x": x, "y": y}
-    state, metrics = step(state, batch_data)  # compile
-    float(jax.device_get(metrics["total_loss"]))
 
-    # steps chain through the donated state: no overlap/caching
-    # possible; the final host fetch forces real completion (the relay
-    # ignores block_until_ready, see bench_uq)
+    # steps chain through the donated state (strictly sequential, no
+    # relay overlap/caching possible); ONE final host fetch forces the
+    # whole chain (block_until_ready is a no-op on the relay). An outer
+    # lax.scan would amortize dispatches too but brings back hour-class
+    # relay compiles (round-3 note).
+    step = jax.jit(make_train_step(model, tx), donate_argnums=0)
+
+    state, metrics = step(state, batch_data)
+    t0 = time.perf_counter()
+    float(jax.device_get(metrics["total_loss"]))
+    print(f"# warmup+compile {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch_data)

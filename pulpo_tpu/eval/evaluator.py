@@ -342,6 +342,10 @@ class Evaluate:
                             np.asarray(warped), lm_y)
                     col += 2
 
+        # reference parity: exact-zero entries are scrubbed to NaN before
+        # the mean (evaluate.py uses 0 as its "empty slot" sentinel, so
+        # e.g. a 0% JDetLeq0 column reads NaN in its tables)
+        all_metrics[all_metrics == 0] = np.nan
         mean_metrics = np.nanmean(all_metrics, axis=-1)
         data = np.concatenate(mean_metrics.T, axis=1)
         sets = np.repeat(self.loader_names, self.num_metrics)
@@ -406,6 +410,10 @@ class Evaluate:
                     all_metrics[3, k, j] = M.lms_corr(
                         lm_hat[0], warped_lms, np.asarray(lm_y)[0])
 
+        # reference parity: exact-zero entries are scrubbed to NaN before
+        # the mean (evaluate.py uses 0 as its "empty slot" sentinel, so
+        # e.g. a 0% JDetLeq0 column reads NaN in its tables)
+        all_metrics[all_metrics == 0] = np.nan
         mean_metrics = np.nanmean(all_metrics, axis=-1)
         data = np.concatenate(mean_metrics.T)[None, :]
         sets = np.repeat(self.loader_names, len(metric_names))
@@ -444,6 +452,10 @@ class Evaluate:
                         lm_x, lm_y)
                     all_metrics[self.metric_names.index("LM_Euclid"), k, j] = (
                         M.lm_euclid(lm_x, lm_y))
+        # reference parity: exact-zero entries are scrubbed to NaN before
+        # the mean (evaluate.py uses 0 as its "empty slot" sentinel, so
+        # e.g. a 0% JDetLeq0 column reads NaN in its tables)
+        all_metrics[all_metrics == 0] = np.nan
         mean_metrics = np.nanmean(all_metrics, axis=-1)
         data = mean_metrics.T
         sets = np.repeat(self.loader_names, self.num_metrics)
@@ -539,6 +551,7 @@ class Evaluate:
                     warped = warp_landmarks(jnp.asarray(lm_x), df)
                     all_metrics[3, k, j] = M.lm_mae(np.asarray(warped), lm_y)
                     all_metrics[4, k, j] = M.lm_euclid(np.asarray(warped), lm_y)
+        all_metrics[all_metrics == 0] = np.nan  # reference zero-scrub
         mean = np.nanmean(all_metrics, axis=-1)
         sets = np.repeat(self.loader_names, len(names))
         mets = np.tile(names, self.num_datasets)
@@ -580,6 +593,7 @@ class Evaluate:
                     all_metrics[2, k, j] = M.lms_var(warped_lms).mean()
                     all_metrics[3, k, j] = M.lms_corr(
                         lm_hat[0], warped_lms, np.asarray(lm_y)[0])
+        all_metrics[all_metrics == 0] = np.nan  # reference zero-scrub
         mean = np.nanmean(all_metrics, axis=-1)
         sets = np.repeat(self.loader_names, len(names))
         mets = np.tile(names, self.num_datasets)

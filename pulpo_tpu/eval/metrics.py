@@ -45,9 +45,12 @@ def global_ncc(a: np.ndarray, v: np.ndarray, zero_norm: bool = True) -> float:
 
 def lm_mae(lm1: np.ndarray, lm2: np.ndarray) -> float:
     """Median manhattan distance between landmark sets (1, N, nd)
-    (evaluate.py:355-366)."""
+    (evaluate.py:355-366). The reference uses ``torch.median``, which
+    for an even element count returns the LOWER middle element (not the
+    numpy average of the two) — replicated here via a sorted index."""
     distance = np.abs(np.asarray(lm1) - np.asarray(lm2)).sum(axis=2)
-    return float(np.median(distance))
+    flat = np.sort(distance.reshape(-1))
+    return float(flat[(flat.size - 1) // 2])
 
 
 def lm_euclid(lm1: np.ndarray, lm2: np.ndarray) -> float:

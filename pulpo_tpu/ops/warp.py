@@ -60,6 +60,17 @@ def warp_image(moving: jnp.ndarray, df: jnp.ndarray) -> jnp.ndarray:
     Output has the df's spatial shape; moving may have a different
     resolution (relative/normalized-coordinate warping, see
     _source_coords).
+
+    TPU formulation: 2**nd corner gathers of FLAT 1-D per-channel
+    arrays. A 1-D gather output has no minor-dim lane padding; any
+    formulation that gathers multi-dim patches or (n, C) rows pads the
+    trailing dim to the 128-lane tile (measured round 3: a single
+    (M, 2,2,2, C=3) patch gather at full res allocates 28 GB — a 42x
+    HBM blowup — because C=3 pads to 128 lanes; the same bytes as flat
+    takes is 660 MB). The per-row scalar-core cost still makes XLA
+    gathers the slow path on TPU — displacement-bounded warps route to
+    the Pallas stencil kernels (kernels/warp_local.py) instead; this is
+    the exact general fallback.
     """
     spatial = moving.shape[1:-1]
     ndims = len(spatial)
@@ -220,10 +231,15 @@ def warp_landmarks(lm: jnp.ndarray, df: jnp.ndarray) -> jnp.ndarray:
 
     lm: (B, N, ndims) voxel coordinates (ij order). df: (B, *spatial,
     ndims). Matches the reference's integer-gather-and-subtract
-    (src/components/utils.py:15-25): new_lm = lm - df[:, :, z, y, x].
+    (src/components/utils.py:15-25 AND evaluate.py:410-424, which both
+    do ``lm = lm.long()`` first): new_lm = trunc(lm) - df[:, :, z, y, x]
+    — the TRUNCATED landmark is what the df is subtracted from, so the
+    result loses the sub-voxel position exactly like the reference
+    (verified by the eval-table parity harness, LM_MAE column).
     """
     b = lm.shape[0]
     lmi = lm.astype(jnp.int32)
+    lm = lmi.astype(lm.dtype)
     spatial = df.shape[1:-1]
     ndims = len(spatial)
     strides = []

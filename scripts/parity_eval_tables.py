@@ -68,7 +68,7 @@ def make_synthetic_oasis_h5(path, size, n_per_split=2, n_lm=24, seg_dim=4,
             for i in range(n_per_split):
                 img = ndimage.gaussian_filter(
                     rng.random(size, dtype=np.float32), sigma=3.0)
-                img = (img - img.min()) / (img.ptp() + 1e-9)
+                img = (img - img.min()) / (np.ptp(img) + 1e-9)
                 gi.create_dataset(str(i), data=img.astype(np.float32))
                 lab = np.clip(
                     (img * seg_dim).astype(np.int32), 0, seg_dim - 1)
@@ -79,11 +79,78 @@ def make_synthetic_oasis_h5(path, size, n_per_split=2, n_lm=24, seg_dim=4,
     return path
 
 
+def _install_reference_stubs():
+    """The image lacks torchvision and pytorch_lightning, which the
+    reference imports at module scope for training/image-logging paths
+    this harness never exercises. Install minimal stubs so
+    `import evaluate` / `from src.models import PULPo` succeed; the
+    stubbed functions raise if ever actually called."""
+    import types
+
+    import torch
+
+    def _unused(*a, **k):
+        raise RuntimeError("stubbed torchvision function called")
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.make_grid = _unused
+        tvu.flow_to_image = _unused
+        tvt = types.ModuleType("torchvision.transforms")
+        tvtf = types.ModuleType("torchvision.transforms.functional")
+        tvtf.gaussian_blur = _unused
+        tvt.functional = tvtf
+        tv.utils, tv.transforms = tvu, tvt
+        sys.modules.update({
+            "torchvision": tv, "torchvision.utils": tvu,
+            "torchvision.transforms": tvt,
+            "torchvision.transforms.functional": tvtf,
+        })
+
+    if "nibabel" not in sys.modules:
+        nib = types.ModuleType("nibabel")
+        nib.load = _unused
+        sys.modules["nibabel"] = nib
+
+    if "pytorch_lightning" not in sys.modules:
+        class _HParams(dict):
+            __getattr__ = dict.__getitem__
+
+        class LightningModule(torch.nn.Module):
+            def save_hyperparameters(self):
+                import inspect
+
+                frame = inspect.currentframe().f_back
+                args = {k: v for k, v in frame.f_locals.items()
+                        if k not in ("self", "__class__")}
+                self._hparams = _HParams(args)
+
+            @property
+            def hparams(self):
+                return self._hparams
+
+            @property
+            def device(self):
+                try:
+                    return next(self.parameters()).device
+                except StopIteration:
+                    return torch.device("cpu")
+
+            def log(self, *a, **k):
+                pass
+
+        pl = types.ModuleType("pytorch_lightning")
+        pl.LightningModule = LightningModule
+        sys.modules["pytorch_lightning"] = pl
+
+
 def build_reference(cfg, seed=0):
     """Reference PULPo lightning module at cfg, randomized running BN
     stats (so eval-mode normalization is non-trivial)."""
     import torch
 
+    _install_reference_stubs()
     from src.models import PULPo
 
     torch.manual_seed(seed)
@@ -204,7 +271,7 @@ def main():
     # ---------------- pulpo_tpu side ----------------
     t0 = time.time()
     model = PULPoModel(cfg)
-    variables = import_torch_state_dict(cfg, ref_model.state_dict())
+    variables = import_torch_state_dict(ref_model.state_dict(), cfg)
 
     ours = OurEvaluate()
     ours.set_model(model, variables, output_dir=workdir / "our_out")

@@ -17,7 +17,9 @@ def test_global_ncc_self_correlation():
 def test_lm_metrics():
     lm1 = np.array([[[0.0, 0, 0], [1, 1, 1]]])
     lm2 = np.array([[[1.0, 0, 0], [1, 1, 4]]])
-    assert M.lm_mae(lm1, lm2) == pytest.approx(2.0)  # median of (1, 3)
+    # torch.median convention (reference evaluate.py:364): for an even
+    # count the LOWER middle element, so median of (1, 3) is 1, not 2
+    assert M.lm_mae(lm1, lm2) == pytest.approx(1.0)
     assert M.lm_euclid(lm1, lm2) == pytest.approx(2.0)  # mean of (1, 3)
 
 
