@@ -1,0 +1,253 @@
+"""Pallas TPU kernel: displacement-bounded dense warp (general images).
+
+`ops/warp.py:warp_image` lowers to per-voxel XLA gathers, which execute
+on the TPU scalar core at a per-row cost (~100M rows/s measured round
+3) — the per-sample full-res `transformed = warp(x, final_df)` of the
+UQ decode (reference src/models.py:330, pulpo.py:146) alone costs
+seconds per call. Mosaic exposes no general per-element gather, but
+registration dfs are smooth and bounded: when every source coordinate
+lies within +-H voxels of its own position, trilinear interpolation is
+a static (2H+2)^3-tap halo stencil (the same degeneration
+kernels/warp_local.py uses at H=1 for sub-voxel SVF squaring steps,
+generalized to configurable H and to warping an arbitrary C-channel
+image by a separate df). Each grid step DMAs one z-slab of `moving`
+plus an H-voxel halo into VMEM and accumulates hat-weighted taps —
+vector ops only, no random HBM access.
+
+Exactness condition: per axis, |clip(src) - g| <= H where
+src = (g + v) * S/(S-1) - 0.5 (grid_sample align_corners=False +
+border clamp, ops/warp.py:_source_coords). `warp_image_auto` checks it
+at runtime (lax.cond) and falls back to the XLA gather — results match
+the reference semantics either way (tests/test_kernels.py).
+
+Sample-tiled batching: df may carry posterior samples folded into its
+batch axis (b_df = S * B, models/pulpo.py n_samples); each df row b'
+reads moving row b' % B — the moving volume is never tiled S-fold.
+
+Gradients: custom VJP re-derives the warp through the XLA composition
+(the kernel is a forward/inference accelerator; training numerics are
+unchanged).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pulpo_tpu.kernels.warp_local import _pick_slab, _round_up
+
+
+def _warp_halo_kernel(mov_hbm, df_hbm, out_ref, mbuf, dbuf, sem_m, sem_d, *,
+                      bz: int, halo: int, spatial, c: int, b_mov: int):
+    """One (b_df, z-slab) grid step: out = trilinear(moving, grid + df).
+
+    mov_hbm: (B, C, S0 + 2H + 1, s1p, s2p) zero-padded, tile-aligned
+    trailing dims; position of source voxel s is s + H per axis.
+    df_hbm: (B_df, 3, S0, s1p_d, s2p_d). Taps o in {-H, ..., H+1}; the
+    hat weight max(0, 1 - |rel - o|) is nonzero for exactly the two
+    integer corners of each voxel, so zero padding is exact (clamped
+    coordinates keep all nonzero-weight taps inside the volume).
+    """
+    b = pl.program_id(0)
+    zi = pl.program_id(1)
+    S0, S1, S2 = spatial
+    taps = 2 * halo + 2
+
+    dma_m = pltpu.make_async_copy(
+        mov_hbm.at[jax.lax.rem(b, b_mov), :, pl.ds(zi * bz, bz + taps - 1)],
+        mbuf, sem_m)
+    dma_d = pltpu.make_async_copy(
+        df_hbm.at[b, :, pl.ds(zi * bz, bz)], dbuf, sem_d)
+    dma_m.start()
+    dma_d.start()
+    dma_m.wait()
+    dma_d.wait()
+
+    shape = (bz, S1, S2)
+    gz = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + zi * bz).astype(
+        jnp.float32)
+    gy = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+    gx = jax.lax.broadcasted_iota(jnp.int32, shape, 2).astype(jnp.float32)
+    rel = []
+    for a, g, s in ((0, gz, S0), (1, gy, S1), (2, gx, S2)):
+        loc = g + dbuf[a, :, :S1, :S2]
+        src = jnp.clip(loc * (s / (s - 1.0)) - 0.5, 0.0, s - 1.0)
+        rel.append(src - g)  # in [-H, H+1] under the caller's guard
+
+    def hat(r, o):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(r - o))
+
+    # x/y-axis weights are reused taps^2 times each -> precompute; the
+    # z taps run in a fori_loop so each iteration's temporaries are
+    # scoped (a fully unrolled taps^3 chain overflows Mosaic's 16M
+    # scoped-VMEM stack: measured 18-26M at taps=6 full-res)
+    wx = [hat(rel[2], float(ox - halo)) for ox in range(taps)]
+    wy = [hat(rel[1], float(oy - halo)) for oy in range(taps)]
+
+    def z_tap(oz, acc):
+        wz = hat(rel[0], (oz - halo).astype(jnp.float32))
+        for oy in range(taps):
+            wzy = wz * wy[oy]
+            for ox in range(taps):
+                w = wzy * wx[ox]
+                acc = tuple(
+                    acc[ch] + w * mbuf[ch, pl.ds(oz, bz),
+                                       oy:oy + S1, ox:ox + S2]
+                    for ch in range(c))
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, taps, z_tap,
+        tuple(jnp.zeros(shape, jnp.float32) for _ in range(c)))
+    out_ref[0] = jnp.stack(list(acc), axis=0)
+
+
+def _warp_halo_pallas(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Raw kernel wrapper: moving (B, *spatial, C), df (B_df, *spatial, 3)
+    with B_df a multiple of B, SAME spatial shape. Exact iff the halo
+    bound holds (callers guard via `halo_bound_ok`)."""
+    spatial = moving.shape[1:-1]
+    assert len(spatial) == 3 and df.shape[-1] == 3
+    assert df.shape[1:-1] == spatial, (moving.shape, df.shape)
+    b = moving.shape[0]
+    b_df = df.shape[0]
+    assert b_df % b == 0
+    c = moving.shape[-1]
+    S0, S1, S2 = spatial
+    orig_dtype = moving.dtype
+    taps = 2 * halo + 2
+
+    mcf = jnp.transpose(moving.astype(jnp.float32), (0, 4, 1, 2, 3))
+    dcf = jnp.transpose(df.astype(jnp.float32), (0, 4, 1, 2, 3))
+
+    # moving: halo padding (H low, H+1 high) + trailing-dim tile
+    # alignment (sublane mult 8, lane mult 128 — Mosaic DMA requirement)
+    s1p = _round_up(S1 + taps - 1, 8)
+    s2p = _round_up(S2 + taps - 1, 128)
+    mp = jnp.pad(mcf, ((0, 0), (0, 0), (halo, halo + 1),
+                       (halo, s1p - S1 - halo), (halo, s2p - S2 - halo)))
+    # df: no halo, tile-aligned trailing dims
+    s1d = _round_up(S1, 8)
+    s2d = _round_up(S2, 128)
+    dp = jnp.pad(dcf, ((0, 0), (0, 0), (0, 0),
+                       (0, s1d - S1), (0, s2d - S2)))
+
+    # VMEM budget: moving slab (C, bz+2H+1, s1p, s2p) + df slab + the
+    # per-iteration working set (wx/wy tap lists, rel, accumulators —
+    # all (bz, S1, S2)); keep the estimate under 8M of the 16M scoped
+    # stack to leave room for Mosaic temporaries. PULPO_WARP_BZ
+    # overrides for tuning.
+    env_bz = os.environ.get("PULPO_WARP_BZ")
+    if env_bz:
+        target = int(env_bz)
+    else:
+        target = 8
+        while target > 1:
+            est = 4 * (c * (target + taps - 1) * s1p * s2p        # mbuf
+                       + 3 * target * s1d * s2d                   # dbuf
+                       + (2 * taps + 4 + 2 * c) * target * S1 * S2)
+            if est <= 8 * 2**20:
+                break
+            target //= 2
+    bz = _pick_slab(S0, target=target)
+
+    kern = functools.partial(_warp_halo_kernel, bz=bz, halo=halo,
+                             spatial=spatial, c=c, b_mov=b)
+    out = pl.pallas_call(
+        kern,
+        grid=(b_df, S0 // bz),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, c, bz, S1, S2), lambda bi, zi: (bi, 0, zi, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_df, c, S0, S1, S2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((c, bz + taps - 1, s1p, s2p), jnp.float32),
+            pltpu.VMEM((3, bz, s1d, s2d), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(mp, dp)
+    return jnp.transpose(out, (0, 2, 3, 4, 1)).astype(orig_dtype)
+
+
+def halo_bound_ok(df: jnp.ndarray, halo: int) -> jnp.ndarray:
+    """Scalar bool: every per-axis source offset |clip(src) - g| fits
+    the stencil (taps -H..H+1 cover rel in [-H, H+1])."""
+    from pulpo_tpu.ops.warp import _source_coords
+
+    spatial = df.shape[1:-1]
+    coords = _source_coords(df, spatial)
+    ok = jnp.bool_(True)
+    for a, s in enumerate(spatial):
+        g = jax.lax.broadcasted_iota(jnp.float32, spatial, a)
+        r = coords[a] - g[None]
+        ok &= (jnp.min(r) >= -float(halo)) & (jnp.max(r) <= float(halo) + 1.0)
+    return ok
+
+
+def default_halo() -> int:
+    return int(os.environ.get("PULPO_WARP_HALO", "2"))
+
+
+# below this output voxel count the per-slab grid/DMA overhead loses to
+# the XLA gather (same breakpoint family as warp_local.MIN_PALLAS_VOXELS)
+MIN_HALO_VOXELS = 32768
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def warp_halo_guarded(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Runtime-guarded warp: Pallas halo stencil when every source
+    offset is within H voxels, XLA gather fallback otherwise."""
+    from pulpo_tpu.ops.warp import warp_image
+
+    return jax.lax.cond(
+        halo_bound_ok(df, halo),
+        lambda m, d: _warp_halo_pallas(m, d, halo, interpret),
+        warp_image,
+        moving, df)
+
+
+def _warp_halo_fwd(moving, df, halo, interpret):
+    return warp_halo_guarded(moving, df, halo, interpret), (moving, df)
+
+
+def _warp_halo_bwd(halo, interpret, res, g):
+    from pulpo_tpu.ops.warp import warp_image
+
+    moving, df = res
+    _, vjp = jax.vjp(warp_image, moving, df)
+    return vjp(g)
+
+
+warp_halo_guarded.defvjp(_warp_halo_fwd, _warp_halo_bwd)
+
+
+def warp_applicable(moving: jnp.ndarray, df: jnp.ndarray) -> bool:
+    """Static eligibility for the halo kernel: TPU, 3D, same spatial
+    shape for moving and df, compatible batches, big enough to beat the
+    per-slab overhead, not disabled."""
+    spatial = moving.shape[1:-1]
+    return (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("PULPO_NO_PALLAS_WARP")
+        and len(spatial) == 3
+        and df.shape[-1] == 3
+        and df.shape[1:-1] == spatial
+        and df.shape[0] % moving.shape[0] == 0
+        # the moving slab is DMA'd per grid step; many-channel inputs
+        # (one-hot segmentations) would not fit VMEM at useful slab sizes
+        and moving.shape[-1] <= 4
+        and math.prod(spatial) >= MIN_HALO_VOXELS
+        and all(s >= 2 * default_halo() + 2 for s in spatial)
+    )

@@ -20,7 +20,12 @@ import jax.numpy as jnp
 from pulpo_tpu.config import PULPoConfig
 from pulpo_tpu.models.pulpo import PULPoModule, prior_like
 from pulpo_tpu.ops.resize import avg_pool_ceil
-from pulpo_tpu.ops.warp import integrate_svf_auto, resize_vecfield, warp_image
+from pulpo_tpu.ops.warp import (
+    integrate_svf_auto,
+    resize_vecfield,
+    warp_image,
+    warp_image_auto,
+)
 
 LevelDict = dict[int, jnp.ndarray]
 
@@ -76,7 +81,7 @@ def transform_segmentation(cfg: PULPoConfig, dfs: LevelDict, seg: jnp.ndarray) -
             prev = avg_pool_ceil(prev)
             level_seg[l] = prev
         level_seg[0] = seg
-    return {l: warp_image(level_seg[l], dfs[l]) for l in dfs}
+    return {l: warp_image_auto(level_seg[l], dfs[l]) for l in dfs}
 
 
 class PULPoModel:
@@ -184,7 +189,7 @@ class PULPoModel:
         _, individual_dfs = self._predict_output_samples_impl(variables, x, y, N, rng)
         avg_dfs = {k: v.mean(axis=1) for k, v in individual_dfs.items()}
         _, avg_final = combine_dfs(self.cfg, avg_dfs)
-        avg_outputs = {l: warp_image(x, avg_final[l]) for l in avg_final}
+        avg_outputs = {l: warp_image_auto(x, avg_final[l]) for l in avg_final}
         return avg_outputs, avg_dfs
 
     @functools.cached_property

@@ -31,7 +31,12 @@ from flax import linen as nn
 from pulpo_tpu.config import PULPoConfig
 from pulpo_tpu.models.blocks import ConvSequence, MuSigmaBlock, VelocityField
 from pulpo_tpu.ops.resize import avg_pool_ceil, resize_linear
-from pulpo_tpu.ops.warp import integrate_svf_auto, resize_vecfield, warp_image
+from pulpo_tpu.ops.warp import (
+    integrate_svf_auto,
+    resize_vecfield,
+    warp_image,
+    warp_image_auto,
+)
 
 LevelDict = dict[int, jnp.ndarray]
 
@@ -126,7 +131,9 @@ class SVFDecoder(nn.Module):
         vel_resize_output = 1.0 / (outsize[0] / insize[0])
         final_df = resize_vecfield(integrated, vel_resize_output, out_size=outsize)
 
-        transformed = warp_image(input_image.astype(jnp.float32), final_df)
+        # same-res (level-0 full_res) warps route to the Pallas halo
+        # stencil; cross-res level_res warps use the XLA gather
+        transformed = warp_image_auto(input_image.astype(jnp.float32), final_df)
         return individual_df, individual_df, combined, final_df, transformed
 
 

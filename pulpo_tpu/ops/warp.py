@@ -151,6 +151,27 @@ def warp_image(moving: jnp.ndarray, df: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(b_df, *out_spatial, c)
 
 
+def warp_image_auto(moving: jnp.ndarray, df: jnp.ndarray) -> jnp.ndarray:
+    """warp_image, routed through the Pallas halo-stencil warp on TPU
+    for same-resolution 3D warps (kernels/warp_halo.py). The stencil
+    is exact while every source offset stays within H voxels (runtime
+    lax.cond guard; XLA gather fallback otherwise) — it turns the
+    scalar-core per-voxel gathers of the hot per-sample full-res
+    `transformed` warp (reference src/models.py:330) into vectorized
+    VMEM taps. Cross-resolution warps (df_resolution='level_res'
+    levels > 0) and 2D fall through to the gather path unchanged.
+    """
+    from pulpo_tpu.kernels.warp_halo import (
+        default_halo,
+        warp_applicable,
+        warp_halo_guarded,
+    )
+
+    if warp_applicable(moving, df):
+        return warp_halo_guarded(moving, df, default_halo())
+    return warp_image(moving, df)
+
+
 def integrate_svf(vec: jnp.ndarray, nsteps: int = 7) -> jnp.ndarray:
     """Scaling-and-squaring integration of a stationary velocity field.
 

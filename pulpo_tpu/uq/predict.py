@@ -50,7 +50,7 @@ import jax.numpy as jnp
 
 from pulpo_tpu.models.api import PULPoModel, combine_dfs
 from pulpo_tpu.models.pulpo import PULPoModule
-from pulpo_tpu.ops.warp import warp_image, warp_landmarks
+from pulpo_tpu.ops.warp import warp_image, warp_image_auto, warp_landmarks
 
 LevelDict = dict[int, jnp.ndarray]
 
@@ -270,7 +270,7 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
     # mean-SVF combine + integrate + re-warp (streamed mean == avg df)
     avg_dfs = {l: m[0] for l, m in stats["ind"].items()}
     _, mean_final = combine_dfs(cfg, avg_dfs)
-    mean_outputs = {l: warp_image(x, mean_final[l]) for l in mean_final}
+    mean_outputs = {l: warp_image_auto(x, mean_final[l]) for l in mean_final}
 
     output_std = {l: _finalize_std(m, N) for l, m in stats["out"].items()}
     output_entropy = {l: _finalize_entropy(m, N) for l, m in stats["out"].items()}
@@ -279,7 +279,7 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
     if mask is not None:
         # mask constant across samples: std(mask*v) == mask*std(v)
         for l in final_df_std:
-            wm = warp_image(mask, mean_final[l])[..., 0]
+            wm = warp_image_auto(mask, mean_final[l])[..., 0]
             final_df_std[l] = final_df_std[l] * jnp.abs(wm)
 
     output_mse = {l: stats["mse"][l] / N for l in stats["mse"]}

@@ -157,3 +157,85 @@ def test_ncc_uses_kernel_and_matches_golden():
     g = jax.grad(lambda p: ncc_loss(p, b, win_size=5))(a)
     assert np.isfinite(np.asarray(g)).all()
     assert np.isfinite(v1)
+
+
+class TestWarpHalo:
+    """The generalized halo-H warp stencil must match the XLA gather
+    warp whenever the per-axis source-offset bound holds."""
+
+    def _field(self, shape, mag, seed=0):
+        rng = np.random.default_rng(seed)
+        return jnp.asarray(
+            rng.uniform(-mag, mag, size=shape).astype(np.float32))
+
+    @pytest.mark.parametrize("shape,c,halo", [
+        ((1, 10, 12, 14), 1, 2),
+        ((2, 8, 9, 11), 3, 2),    # odd sizes exercise slab/halo edges
+        ((1, 12, 16, 130), 1, 3), # lane-dim > 128 tile
+    ])
+    def test_matches_xla_warp(self, shape, c, halo):
+        from pulpo_tpu.kernels.warp_halo import _warp_halo_pallas, halo_bound_ok
+        from pulpo_tpu.ops.warp import warp_image
+
+        mov = self._field(shape + (c,), 1.0, seed=1)
+        df = self._field(shape + (3,), halo - 1.2, seed=2)
+        assert bool(halo_bound_ok(df, halo))
+        ref = warp_image(mov, df)
+        got = _warp_halo_pallas(mov, df, halo, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_sample_tiled_df_batch(self):
+        """df batch = S x moving batch: row b' reads moving row b' % B."""
+        from pulpo_tpu.kernels.warp_halo import _warp_halo_pallas
+        from pulpo_tpu.ops.warp import warp_image
+
+        mov = self._field((2, 8, 10, 12, 1), 1.0, seed=3)
+        df = self._field((6, 8, 10, 12, 3), 0.8, seed=4)
+        ref = warp_image(mov, df)
+        got = _warp_halo_pallas(mov, df, 2, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_border_clamp_large_positive_coords(self):
+        """Displacements pushing src past the high border clamp onto the
+        border voxel (grid_sample border padding), staying in-bound for
+        the stencil's high-side taps."""
+        from pulpo_tpu.kernels.warp_halo import _warp_halo_pallas, halo_bound_ok
+        from pulpo_tpu.ops.warp import warp_image
+
+        mov = self._field((1, 8, 10, 12, 1), 1.0, seed=5)
+        df = jnp.full((1, 8, 10, 12, 3), 0.9, jnp.float32)
+        assert bool(halo_bound_ok(df, 2))
+        ref = warp_image(mov, df)
+        got = _warp_halo_pallas(mov, df, 2, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_guard_rejects_oversized_displacement(self):
+        from pulpo_tpu.kernels.warp_halo import halo_bound_ok
+
+        # note: displacements past the HIGH border are forgiven by the
+        # border clamp (clip(src) is what the stencil samples), so the
+        # probe displacement points INWARD from near the high border
+        df = jnp.zeros((1, 8, 10, 12, 3), jnp.float32)
+        df = df.at[0, 6, 5, 6, 0].set(-5.0)
+        assert not bool(halo_bound_ok(df, 2))
+        assert bool(halo_bound_ok(df, 6))
+
+    def test_gradient_matches_xla(self):
+        """custom_vjp must route gradients through the XLA composition
+        regardless of which forward branch would run."""
+        from pulpo_tpu.kernels.warp_halo import warp_halo_guarded
+        from pulpo_tpu.ops.warp import warp_image
+
+        mov = self._field((1, 6, 8, 10, 1), 1.0, seed=6)
+        df = self._field((1, 6, 8, 10, 3), 0.5, seed=7)
+        g_ref = jax.grad(lambda m, d: jnp.sum(warp_image(m, d) ** 2), (0, 1))(
+            mov, df)
+        g_got = jax.grad(
+            lambda m, d: jnp.sum(warp_halo_guarded(m, d, 2, True) ** 2),
+            (0, 1))(mov, df)
+        for a, b in zip(g_got, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
