@@ -86,14 +86,18 @@ def _warp_halo_kernel(mov_hbm, df_hbm, out_ref, mbuf, dbuf, sem_m, sem_d, *,
     # x/y-axis weights are reused taps^2 times each -> precompute; the
     # z taps run in a fori_loop so each iteration's temporaries are
     # scoped (a fully unrolled taps^3 chain overflows Mosaic's 16M
-    # scoped-VMEM stack: measured 18-26M at taps=6 full-res)
+    # scoped-VMEM stack: measured 18-26M at taps=6 full-res). At large
+    # halos the wy tap list itself would not fit VMEM - recompute it
+    # per (oz, oy) there (~17% more VPU ops, taps fewer live slabs).
     wx = [hat(rel[2], float(ox - halo)) for ox in range(taps)]
-    wy = [hat(rel[1], float(oy - halo)) for oy in range(taps)]
+    wy = ([hat(rel[1], float(oy - halo)) for oy in range(taps)]
+          if taps <= 8 else None)
 
     def z_tap(oz, acc):
         wz = hat(rel[0], (oz - halo).astype(jnp.float32))
         for oy in range(taps):
-            wzy = wz * wy[oy]
+            wzy = wz * (wy[oy] if wy is not None
+                        else hat(rel[1], float(oy - halo)))
             for ox in range(taps):
                 w = wzy * wx[ox]
                 acc = tuple(
@@ -148,11 +152,12 @@ def _warp_halo_pallas(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
     if env_bz:
         target = int(env_bz)
     else:
+        n_w = 2 * taps if taps <= 8 else taps  # precomputed weight slabs
         target = 8
         while target > 1:
             est = 4 * (c * (target + taps - 1) * s1p * s2p        # mbuf
                        + 3 * target * s1d * s2d                   # dbuf
-                       + (2 * taps + 4 + 2 * c) * target * S1 * S2)
+                       + (n_w + 4 + 2 * c) * target * S1 * S2)
             if est <= 8 * 2**20:
                 break
             target //= 2
@@ -195,8 +200,16 @@ def halo_bound_ok(df: jnp.ndarray, halo: int) -> jnp.ndarray:
     return ok
 
 
-def default_halo() -> int:
-    return int(os.environ.get("PULPO_WARP_HALO", "2"))
+def halo_cascade() -> tuple[int, ...]:
+    """Halo tiers tried in order (comma-separated PULPO_WARP_HALO).
+
+    Default (2, 8): tier 1 covers the near-identity dfs of SVF pipelines
+    and early training at 75x the gather's speed (measured v5e); tier 2
+    covers trained-model deformations up to 8 voxels per axis at ~4x;
+    anything larger falls back to the exact XLA gather.
+    """
+    spec = os.environ.get("PULPO_WARP_HALO", "2,8")
+    return tuple(int(h) for h in spec.split(",") if h)
 
 
 # below this output voxel count the per-slab grid/DMA overhead loses to
@@ -233,6 +246,48 @@ def _warp_halo_bwd(halo, interpret, res, g):
 warp_halo_guarded.defvjp(_warp_halo_fwd, _warp_halo_bwd)
 
 
+def warp_cascaded(moving: jnp.ndarray, df: jnp.ndarray,
+                  halos: tuple[int, ...] | None = None) -> jnp.ndarray:
+    """Tiered guarded warp: try each halo size in order (smallest =
+    fastest kernel first), fall back to the XLA gather when the df
+    exceeds every tier. All tiers compile into the program; exactly one
+    branch executes per call."""
+    if halos is None:
+        halos = halo_cascade()
+    if not halos:
+        from pulpo_tpu.ops.warp import warp_image
+
+        return warp_image(moving, df)
+    h, rest = halos[0], halos[1:]
+    return jax.lax.cond(
+        halo_bound_ok(df, h),
+        lambda m, d: _warp_halo_pallas(m, d, h),
+        lambda m, d: warp_cascaded(m, d, rest),
+        moving, df)
+
+
+@jax.custom_vjp
+def warp_cascaded_grad(moving: jnp.ndarray, df: jnp.ndarray) -> jnp.ndarray:
+    """warp_cascaded with gradients routed through the XLA composition
+    (the kernels are forward/inference accelerators)."""
+    return warp_cascaded(moving, df)
+
+
+def _wc_fwd(moving, df):
+    return warp_cascaded_grad(moving, df), (moving, df)
+
+
+def _wc_bwd(res, g):
+    from pulpo_tpu.ops.warp import warp_image
+
+    moving, df = res
+    _, vjp = jax.vjp(warp_image, moving, df)
+    return vjp(g)
+
+
+warp_cascaded_grad.defvjp(_wc_fwd, _wc_bwd)
+
+
 def warp_applicable(moving: jnp.ndarray, df: jnp.ndarray) -> bool:
     """Static eligibility for the halo kernel: TPU, 3D, same spatial
     shape for moving and df, compatible batches, big enough to beat the
@@ -249,5 +304,5 @@ def warp_applicable(moving: jnp.ndarray, df: jnp.ndarray) -> bool:
         # (one-hot segmentations) would not fit VMEM at useful slab sizes
         and moving.shape[-1] <= 4
         and math.prod(spatial) >= MIN_HALO_VOXELS
-        and all(s >= 2 * default_halo() + 2 for s in spatial)
+        and all(s >= 2 * max(halo_cascade()) + 2 for s in spatial)
     )

@@ -162,13 +162,12 @@ def warp_image_auto(moving: jnp.ndarray, df: jnp.ndarray) -> jnp.ndarray:
     levels > 0) and 2D fall through to the gather path unchanged.
     """
     from pulpo_tpu.kernels.warp_halo import (
-        default_halo,
         warp_applicable,
-        warp_halo_guarded,
+        warp_cascaded_grad,
     )
 
     if warp_applicable(moving, df):
-        return warp_halo_guarded(moving, df, default_halo())
+        return warp_cascaded_grad(moving, df)
     return warp_image(moving, df)
 
 
