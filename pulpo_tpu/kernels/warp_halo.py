@@ -42,6 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pulpo_tpu.kernels.warp_local import _pick_slab, _round_up
 
+# largest tap count whose (oy, ox) chain is fully unrolled in-kernel.
+# Bigger tap counts would need a dynamic-start sublane slice per oy,
+# which real Mosaic rejects — those tiers exist for interpret mode only.
+UNROLL_TAPS_MAX = 12
+
 
 def _warp_halo_kernel(mov_hbm, df_hbm, out_ref, mbuf, dbuf, sem_m, sem_d, *,
                       bz: int, halo: int, spatial, c: int, b_mov: int):
@@ -86,25 +91,40 @@ def _warp_halo_kernel(mov_hbm, df_hbm, out_ref, mbuf, dbuf, sem_m, sem_d, *,
     # x/y-axis weights are reused taps^2 times each -> precompute; the
     # z taps run in a fori_loop so each iteration's temporaries are
     # scoped (a fully unrolled taps^3 chain overflows Mosaic's 16M
-    # scoped-VMEM stack: measured 18-26M at taps=6 full-res). At large
-    # halos the wy tap list itself would not fit VMEM - recompute it
-    # per (oz, oy) there (~17% more VPU ops, taps fewer live slabs).
+    # scoped-VMEM stack: measured 18-26M at taps=6 full-res). Beyond
+    # UNROLL_TAPS_MAX the oy taps run in a nested fori_loop — but real
+    # Mosaic rejects dynamic sublane-dim slice starts ("cannot
+    # statically prove index is a multiple of 8"), so that path is
+    # interpret-only; hardware tiers are capped at UNROLL_TAPS_MAX
+    # (see halo_cascade).
     wx = [hat(rel[2], float(ox - halo)) for ox in range(taps)]
     wy = ([hat(rel[1], float(oy - halo)) for oy in range(taps)]
-          if taps <= 8 else None)
+          if taps <= UNROLL_TAPS_MAX else None)
 
     def z_tap(oz, acc):
         wz = hat(rel[0], (oz - halo).astype(jnp.float32))
-        for oy in range(taps):
-            wzy = wz * (wy[oy] if wy is not None
-                        else hat(rel[1], float(oy - halo)))
+        if wy is not None:
+            for oy in range(taps):
+                wzy = wz * wy[oy]
+                for ox in range(taps):
+                    w = wzy * wx[ox]
+                    acc = tuple(
+                        acc[ch] + w * mbuf[ch, pl.ds(oz, bz),
+                                           oy:oy + S1, ox:ox + S2]
+                        for ch in range(c))
+            return acc
+
+        def y_tap(oy, acc_y):
+            wzy = wz * hat(rel[1], (oy - halo).astype(jnp.float32))
             for ox in range(taps):
                 w = wzy * wx[ox]
-                acc = tuple(
-                    acc[ch] + w * mbuf[ch, pl.ds(oz, bz),
-                                       oy:oy + S1, ox:ox + S2]
+                acc_y = tuple(
+                    acc_y[ch] + w * mbuf[ch, pl.ds(oz, bz),
+                                         pl.ds(oy, S1), ox:ox + S2]
                     for ch in range(c))
-        return acc
+            return acc_y
+
+        return jax.lax.fori_loop(0, taps, y_tap, acc)
 
     acc = jax.lax.fori_loop(
         0, taps, z_tap,
@@ -152,7 +172,7 @@ def _warp_halo_pallas(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
     if env_bz:
         target = int(env_bz)
     else:
-        n_w = 2 * taps if taps <= 8 else taps  # precomputed weight slabs
+        n_w = 2 * taps if taps <= UNROLL_TAPS_MAX else taps
         target = 8
         while target > 1:
             est = 4 * (c * (target + taps - 1) * s1p * s2p        # mbuf
@@ -185,6 +205,174 @@ def _warp_halo_pallas(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
     return jnp.transpose(out, (0, 2, 3, 4, 1)).astype(orig_dtype)
 
 
+def _warp_halo_dfgrad_kernel(mov_hbm, df_hbm, g_hbm, out_ref, mbuf, dbuf,
+                             gbuf, sem_m, sem_d, sem_g, *, bz: int,
+                             halo: int, spatial, c: int, b_mov: int):
+    """One (b_df, z-slab) grid step of the warp's df-cotangent:
+
+      g_df[v, a] = dscale_a(v) * sum_ch g[v, ch] *
+                   sum_o  (d w(v, o) / d rel_a)  *  moving[ch, v + o]
+
+    where w is the product of per-axis hat weights and
+    dscale_a = S/(S-1) * [src unclipped]  (the chain through
+    ops/warp.py:_source_coords). Same halo/tap structure as the forward
+    kernel; ~3x the VPU work (three partial accumulators).
+    """
+    b = pl.program_id(0)
+    zi = pl.program_id(1)
+    S0, S1, S2 = spatial
+    taps = 2 * halo + 2
+
+    dma_m = pltpu.make_async_copy(
+        mov_hbm.at[jax.lax.rem(b, b_mov), :, pl.ds(zi * bz, bz + taps - 1)],
+        mbuf, sem_m)
+    dma_d = pltpu.make_async_copy(
+        df_hbm.at[b, :, pl.ds(zi * bz, bz)], dbuf, sem_d)
+    dma_g = pltpu.make_async_copy(
+        g_hbm.at[b, :, pl.ds(zi * bz, bz)], gbuf, sem_g)
+    dma_m.start()
+    dma_d.start()
+    dma_g.start()
+    dma_m.wait()
+    dma_d.wait()
+    dma_g.wait()
+
+    shape = (bz, S1, S2)
+    gz = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + zi * bz).astype(
+        jnp.float32)
+    gy = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+    gx = jax.lax.broadcasted_iota(jnp.int32, shape, 2).astype(jnp.float32)
+    rel, dscale = [], []
+    for a, g, s in ((0, gz, S0), (1, gy, S1), (2, gx, S2)):
+        scale = s / (s - 1.0)
+        srcu = (g + dbuf[a, :, :S1, :S2]) * scale - 0.5
+        src = jnp.clip(srcu, 0.0, s - 1.0)
+        rel.append(src - g)
+        dscale.append(jnp.where((srcu > 0.0) & (srcu < s - 1.0), scale, 0.0))
+
+    def hat(r, o):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(r - o))
+
+    def dhat(r, o):
+        # d/dr max(0, 1-|r-o|): -sign(r-o) on |r-o| < 1 (sign(0) = 0
+        # matches the a.e. subgradient of the XLA composition)
+        return jnp.where(jnp.abs(r - o) < 1.0, -jnp.sign(r - o), 0.0)
+
+    wx = [hat(rel[2], float(ox - halo)) for ox in range(taps)]
+    dwx = [dhat(rel[2], float(ox - halo)) for ox in range(taps)]
+    small = taps <= UNROLL_TAPS_MAX
+    wy = [hat(rel[1], float(oy - halo)) for oy in range(taps)] if small else None
+    dwy = [dhat(rel[1], float(oy - halo)) for oy in range(taps)] if small else None
+
+    def z_tap(oz, acc):
+        ozf = (oz - halo).astype(jnp.float32)
+        wz = hat(rel[0], ozf)
+        dwz = dhat(rel[0], ozf)
+
+        def y_body(oy, wyv, dwyv, acc_y):
+            az, ay, ax = acc_y
+            for ox in range(taps):
+                gm = None  # sum_ch g[v, ch] * moving[ch, v + o]
+                for ch in range(c):
+                    t = (gbuf[ch, :, :S1, :S2]
+                         * mbuf[ch, pl.ds(oz, bz), pl.ds(oy, S1),
+                                ox:ox + S2])
+                    gm = t if gm is None else gm + t
+                az = az + gm * (dwz * wyv * wx[ox])
+                ay = ay + gm * (wz * dwyv * wx[ox])
+                ax = ax + gm * (wz * wyv * dwx[ox])
+            return az, ay, ax
+
+        if small:
+            for oy in range(taps):
+                acc = y_body(oy, wy[oy], dwy[oy], acc)
+            return acc
+
+        def y_tap(oy, acc_y):
+            oyf = (oy - halo).astype(jnp.float32)
+            return y_body(oy, hat(rel[1], oyf), dhat(rel[1], oyf), acc_y)
+
+        return jax.lax.fori_loop(0, taps, y_tap, acc)
+
+    acc = jax.lax.fori_loop(
+        0, taps, z_tap, tuple(jnp.zeros(shape, jnp.float32) for _ in range(3)))
+    out_ref[0] = jnp.stack([a * d for a, d in zip(acc, dscale)], axis=0)
+
+
+def _warp_halo_dfgrad_pallas(moving: jnp.ndarray, df: jnp.ndarray,
+                             g: jnp.ndarray, halo: int,
+                             interpret: bool = False) -> jnp.ndarray:
+    """df-cotangent of the halo warp: moving (B, *spatial, C), df and g
+    (B_df, *spatial, 3/C). Returns g_df (B_df, *spatial, 3) in f32.
+    Exact (vs the XLA composition's VJP, a.e.) iff the halo bound holds."""
+    spatial = moving.shape[1:-1]
+    assert len(spatial) == 3 and df.shape[-1] == 3
+    assert df.shape[1:-1] == spatial and g.shape[1:-1] == spatial
+    b = moving.shape[0]
+    b_df = df.shape[0]
+    assert b_df % b == 0 and g.shape[0] == b_df
+    c = moving.shape[-1]
+    assert g.shape[-1] == c
+    S0, S1, S2 = spatial
+    taps = 2 * halo + 2
+
+    mcf = jnp.transpose(moving.astype(jnp.float32), (0, 4, 1, 2, 3))
+    dcf = jnp.transpose(df.astype(jnp.float32), (0, 4, 1, 2, 3))
+    gcf = jnp.transpose(g.astype(jnp.float32), (0, 4, 1, 2, 3))
+
+    s1p = _round_up(S1 + taps - 1, 8)
+    s2p = _round_up(S2 + taps - 1, 128)
+    mp = jnp.pad(mcf, ((0, 0), (0, 0), (halo, halo + 1),
+                       (halo, s1p - S1 - halo), (halo, s2p - S2 - halo)))
+    s1d = _round_up(S1, 8)
+    s2d = _round_up(S2, 128)
+    dp = jnp.pad(dcf, ((0, 0), (0, 0), (0, 0),
+                       (0, s1d - S1), (0, s2d - S2)))
+    # g needs the same halo as moving: taps read g at shifted positions?
+    # No - g is read at the OUTPUT voxel only; pad to tile alignment.
+    gp = jnp.pad(gcf, ((0, 0), (0, 0), (0, 0),
+                       (0, s1d - S1), (0, s2d - S2)))
+
+    env_bz = os.environ.get("PULPO_WARP_BZ")
+    if env_bz:
+        target = int(env_bz)
+    else:
+        n_w = (4 * taps if taps <= UNROLL_TAPS_MAX else 2 * taps) + 10 + 2 * c
+        target = 8
+        while target > 1:
+            est = 4 * (c * (target + taps - 1) * s1p * s2p
+                       + (3 + c) * target * s1d * s2d
+                       + n_w * target * S1 * S2)
+            if est <= 8 * 2**20:
+                break
+            target //= 2
+    bz = _pick_slab(S0, target=target)
+
+    kern = functools.partial(_warp_halo_dfgrad_kernel, bz=bz, halo=halo,
+                             spatial=spatial, c=c, b_mov=b)
+    out = pl.pallas_call(
+        kern,
+        grid=(b_df, S0 // bz),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 3, bz, S1, S2), lambda bi, zi: (bi, 0, zi, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_df, 3, S0, S1, S2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((c, bz + taps - 1, s1p, s2p), jnp.float32),
+            pltpu.VMEM((3, bz, s1d, s2d), jnp.float32),
+            pltpu.VMEM((c, bz, s1d, s2d), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(mp, dp, gp)
+    return jnp.transpose(out, (0, 2, 3, 4, 1))
+
+
 def halo_bound_ok(df: jnp.ndarray, halo: int) -> jnp.ndarray:
     """Scalar bool: every per-axis source offset |clip(src) - g| fits
     the stencil (taps -H..H+1 cover rel in [-H, H+1])."""
@@ -203,12 +391,14 @@ def halo_bound_ok(df: jnp.ndarray, halo: int) -> jnp.ndarray:
 def halo_cascade() -> tuple[int, ...]:
     """Halo tiers tried in order (comma-separated PULPO_WARP_HALO).
 
-    Default (2, 8): tier 1 covers the near-identity dfs of SVF pipelines
+    Default (2, 4): tier 1 covers the near-identity dfs of SVF pipelines
     and early training at 75x the gather's speed (measured v5e); tier 2
-    covers trained-model deformations up to 8 voxels per axis at ~4x;
-    anything larger falls back to the exact XLA gather.
+    covers deformations up to ~4 voxels per axis; anything larger falls
+    back to the exact XLA gather. Tiers with 2H+2 > UNROLL_TAPS_MAX
+    cannot compile on real Mosaic (dynamic sublane slices) — don't set
+    them outside interpret mode.
     """
-    spec = os.environ.get("PULPO_WARP_HALO", "2,8")
+    spec = os.environ.get("PULPO_WARP_HALO", "2,4")
     return tuple(int(h) for h in spec.split(",") if h)
 
 
@@ -247,7 +437,8 @@ warp_halo_guarded.defvjp(_warp_halo_fwd, _warp_halo_bwd)
 
 
 def warp_cascaded(moving: jnp.ndarray, df: jnp.ndarray,
-                  halos: tuple[int, ...] | None = None) -> jnp.ndarray:
+                  halos: tuple[int, ...] | None = None,
+                  interpret: bool = False) -> jnp.ndarray:
     """Tiered guarded warp: try each halo size in order (smallest =
     fastest kernel first), fall back to the XLA gather when the df
     exceeds every tier. All tiers compile into the program; exactly one
@@ -261,28 +452,50 @@ def warp_cascaded(moving: jnp.ndarray, df: jnp.ndarray,
     h, rest = halos[0], halos[1:]
     return jax.lax.cond(
         halo_bound_ok(df, h),
-        lambda m, d: _warp_halo_pallas(m, d, h),
-        lambda m, d: warp_cascaded(m, d, rest),
+        lambda m, d: _warp_halo_pallas(m, d, h, interpret),
+        lambda m, d: warp_cascaded(m, d, rest, interpret),
         moving, df)
 
 
-@jax.custom_vjp
-def warp_cascaded_grad(moving: jnp.ndarray, df: jnp.ndarray) -> jnp.ndarray:
-    """warp_cascaded with gradients routed through the XLA composition
-    (the kernels are forward/inference accelerators)."""
-    return warp_cascaded(moving, df)
+def _dfgrad_cascaded(moving, df, g, halos, interpret=False):
+    """df-cotangent via the same guard cascade as the forward: the
+    Pallas dfgrad kernel at the smallest tier whose bound holds, the
+    XLA composition's VJP beyond every tier."""
+    from pulpo_tpu.ops.warp import warp_image
+
+    if not halos:
+        _, vjp = jax.vjp(warp_image, moving, df)
+        return vjp(g)[1].astype(jnp.float32)
+    h, rest = halos[0], halos[1:]
+    return jax.lax.cond(
+        halo_bound_ok(df, h),
+        lambda m, d, gg: _warp_halo_dfgrad_pallas(m, d, gg, h, interpret),
+        lambda m, d, gg: _dfgrad_cascaded(m, d, gg, rest, interpret),
+        moving, df, g)
 
 
-def _wc_fwd(moving, df):
-    return warp_cascaded_grad(moving, df), (moving, df)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def warp_cascaded_grad(moving: jnp.ndarray, df: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """warp_cascaded with a Pallas backward for the df-cotangent (the
+    hot gradient: `moving` is the input image in the decode, so its
+    cotangent subgraph is dead code XLA removes; `df` carries the
+    training gradient and its XLA VJP re-runs scalar-core gathers)."""
+    return warp_cascaded(moving, df, interpret=interpret)
 
 
-def _wc_bwd(res, g):
+def _wc_fwd(moving, df, interpret):
+    return warp_cascaded_grad(moving, df, interpret), (moving, df)
+
+
+def _wc_bwd(interpret, res, g):
     from pulpo_tpu.ops.warp import warp_image
 
     moving, df = res
     _, vjp = jax.vjp(warp_image, moving, df)
-    return vjp(g)
+    g_mov = vjp(g)[0]  # scatter subgraph; DCE'd when moving-grad unused
+    g_df = _dfgrad_cascaded(moving, df, g, halo_cascade(), interpret)
+    return g_mov, g_df.astype(df.dtype)
 
 
 warp_cascaded_grad.defvjp(_wc_fwd, _wc_bwd)

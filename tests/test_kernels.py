@@ -172,6 +172,7 @@ class TestWarpHalo:
         ((1, 10, 12, 14), 1, 2),
         ((2, 8, 9, 11), 3, 2),    # odd sizes exercise slab/halo edges
         ((1, 12, 16, 130), 1, 3), # lane-dim > 128 tile
+        ((1, 12, 14, 16), 1, 4),  # taps > 8: recompute-wy kernel path
     ])
     def test_matches_xla_warp(self, shape, c, halo):
         from pulpo_tpu.kernels.warp_halo import _warp_halo_pallas, halo_bound_ok
@@ -236,6 +237,91 @@ class TestWarpHalo:
         g_got = jax.grad(
             lambda m, d: jnp.sum(warp_halo_guarded(m, d, 2, True) ** 2),
             (0, 1))(mov, df)
+        for a, b in zip(g_got, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("mag,hit_tier", [
+        (1.0, "halo2"),   # within tier 1
+        (2.8, "halo4"),   # exceeds tier 1, within tier 2
+        (9.0, "xla"),     # exceeds every tier -> exact gather fallback
+    ])
+    def test_cascade_matches_xla_at_every_tier(self, mag, hit_tier):
+        """warp_cascaded must equal the reference gather whichever tier
+        the runtime guards select (small tiers for near-identity SVF
+        dfs, big tiers for trained-model deformations, XLA beyond)."""
+        from pulpo_tpu.kernels.warp_halo import halo_bound_ok, warp_cascaded
+        from pulpo_tpu.ops.warp import warp_image
+
+        shape = (1, 12, 14, 16)
+        mov = self._field(shape + (1,), 1.0, seed=8)
+        rng = np.random.default_rng(9)
+        # inward-pointing displacements so the high-border clamp cannot
+        # forgive the magnitude (see test_guard_rejects_oversized...)
+        df = jnp.asarray(
+            (rng.uniform(0.3, 1.0, size=shape + (3,)) * mag).astype(
+                np.float32)) * jnp.asarray([-1.0, 1.0, -1.0])
+        tiers = {"halo2": (True, None), "halo4": (False, True),
+                 "xla": (False, False)}
+        want2, want4 = tiers[hit_tier]
+        assert bool(halo_bound_ok(df, 2)) == want2
+        if want4 is not None:
+            assert bool(halo_bound_ok(df, 4)) == want4
+        ref = warp_image(mov, df)
+        got = warp_cascaded(mov, df, halos=(2, 4), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("shape,c,halo", [
+        ((1, 10, 12, 14), 1, 2),
+        ((2, 8, 9, 11), 3, 2),
+        ((1, 12, 14, 16), 1, 4),  # taps > 8: fori-loop oy path
+    ])
+    def test_dfgrad_kernel_matches_xla_vjp(self, shape, c, halo):
+        """The Pallas df-cotangent must match the XLA composition's VJP
+        wherever the halo bound holds (a.e. — the subgradient choice at
+        exact-integer source coords differs, measure zero for random df)."""
+        from pulpo_tpu.kernels.warp_halo import (
+            _warp_halo_dfgrad_pallas,
+            halo_bound_ok,
+        )
+        from pulpo_tpu.ops.warp import warp_image
+
+        mov = self._field(shape + (c,), 1.0, seed=12)
+        df = self._field(shape + (3,), halo - 1.2, seed=13)
+        g = self._field(shape + (c,), 1.0, seed=14)
+        assert bool(halo_bound_ok(df, halo))
+        _, vjp = jax.vjp(warp_image, mov, df)
+        ref = vjp(g)[1]
+        got = _warp_halo_dfgrad_pallas(mov, df, g, halo, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_dfgrad_kernel_sample_tiled(self):
+        """df/g batch = S x moving batch mirrors the forward tiling."""
+        from pulpo_tpu.kernels.warp_halo import _warp_halo_dfgrad_pallas
+        from pulpo_tpu.ops.warp import warp_image
+
+        mov = self._field((2, 8, 10, 12, 1), 1.0, seed=15)
+        df = self._field((6, 8, 10, 12, 3), 0.8, seed=16)
+        g = self._field((6, 8, 10, 12, 1), 1.0, seed=17)
+        _, vjp = jax.vjp(warp_image, mov, df)
+        ref = vjp(g)[1]
+        got = _warp_halo_dfgrad_pallas(mov, df, g, 2, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_cascade_grad_matches_xla(self):
+        from pulpo_tpu.kernels.warp_halo import warp_cascaded_grad
+        from pulpo_tpu.ops.warp import warp_image
+
+        mov = self._field((1, 6, 8, 10, 1), 1.0, seed=10)
+        df = self._field((1, 6, 8, 10, 3), 0.5, seed=11)
+        g_ref = jax.grad(lambda m, d: jnp.sum(warp_image(m, d) ** 2), (0, 1))(
+            mov, df)
+        g_got = jax.grad(
+            lambda m, d: jnp.sum(warp_cascaded_grad(m, d, True) ** 2), (0, 1))(
+            mov, df)
         for a, b in zip(g_got, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
