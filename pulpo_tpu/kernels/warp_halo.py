@@ -254,9 +254,14 @@ def _warp_halo_dfgrad_kernel(mov_hbm, df_hbm, g_hbm, out_ref, mbuf, dbuf,
         return jnp.maximum(0.0, 1.0 - jnp.abs(r - o))
 
     def dhat(r, o):
-        # d/dr max(0, 1-|r-o|): -sign(r-o) on |r-o| < 1 (sign(0) = 0
-        # matches the a.e. subgradient of the XLA composition)
-        return jnp.where(jnp.abs(r - o) < 1.0, -jnp.sign(r - o), 0.0)
+        # d/dr max(0, 1-|r-o|) with the XLA composition's subgradient at
+        # the kinks: w = src - floor(src) gives the right-derivative
+        # m[i1] - m[i0] at exact-integer src (reached by f32 rounding a
+        # few times per million voxels — measured), i.e. half-open
+        # intervals: -1 on [o, o+1), +1 on [o-1, o), 0 elsewhere.
+        d = r - o
+        return (jnp.where((d >= -1.0) & (d < 0.0), 1.0, 0.0)
+                - jnp.where((d >= 0.0) & (d < 1.0), 1.0, 0.0))
 
     wx = [hat(rel[2], float(ox - halo)) for ox in range(taps)]
     dwx = [dhat(rel[2], float(ox - halo)) for ox in range(taps)]
@@ -301,7 +306,8 @@ def _warp_halo_dfgrad_kernel(mov_hbm, df_hbm, g_hbm, out_ref, mbuf, dbuf,
 
 def _warp_halo_dfgrad_pallas(moving: jnp.ndarray, df: jnp.ndarray,
                              g: jnp.ndarray, halo: int,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False,
+                             bz_override: int | None = None) -> jnp.ndarray:
     """df-cotangent of the halo warp: moving (B, *spatial, C), df and g
     (B_df, *spatial, 3/C). Returns g_df (B_df, *spatial, 3) in f32.
     Exact (vs the XLA composition's VJP, a.e.) iff the halo bound holds."""
@@ -334,7 +340,9 @@ def _warp_halo_dfgrad_pallas(moving: jnp.ndarray, df: jnp.ndarray,
                        (0, s1d - S1), (0, s2d - S2)))
 
     env_bz = os.environ.get("PULPO_WARP_BZ")
-    if env_bz:
+    if bz_override:
+        target = bz_override
+    elif env_bz:
         target = int(env_bz)
     else:
         n_w = (4 * taps if taps <= UNROLL_TAPS_MAX else 2 * taps) + 10 + 2 * c
@@ -391,14 +399,16 @@ def halo_bound_ok(df: jnp.ndarray, halo: int) -> jnp.ndarray:
 def halo_cascade() -> tuple[int, ...]:
     """Halo tiers tried in order (comma-separated PULPO_WARP_HALO).
 
-    Default (2, 4): tier 1 covers the near-identity dfs of SVF pipelines
+    Default (2, 3): tier 1 covers the near-identity dfs of SVF pipelines
     and early training at 75x the gather's speed (measured v5e); tier 2
-    covers deformations up to ~4 voxels per axis; anything larger falls
-    back to the exact XLA gather. Tiers with 2H+2 > UNROLL_TAPS_MAX
-    cannot compile on real Mosaic (dynamic sublane slices) — don't set
-    them outside interpret mode.
+    covers deformations up to ~2.3 voxels per axis at 49x; anything
+    larger falls back to the exact XLA gather. H >= 4 tiers fail to
+    compile on real Mosaic at full-res (scoped-VMEM stack overflow from
+    the unrolled (oy, ox) tap chain; the fori-oy restructure is rejected
+    for dynamic sublane slices) — measured round 3, don't raise this
+    outside interpret mode.
     """
-    spec = os.environ.get("PULPO_WARP_HALO", "2,4")
+    spec = os.environ.get("PULPO_WARP_HALO", "2,3")
     return tuple(int(h) for h in spec.split(",") if h)
 
 
