@@ -396,6 +396,107 @@ def halo_bound_ok(df: jnp.ndarray, halo: int) -> jnp.ndarray:
     return ok
 
 
+def halo_bad_mask(df: jnp.ndarray, halo: int) -> jnp.ndarray:
+    """Per-voxel bool (B_df, *spatial): some axis source offset falls
+    outside the stencil's [-H, H+1] support."""
+    from pulpo_tpu.ops.warp import _source_coords
+
+    spatial = df.shape[1:-1]
+    coords = _source_coords(df, spatial)
+    bad = None
+    for a in range(len(spatial)):
+        g = jax.lax.broadcasted_iota(jnp.float32, spatial, a)
+        r = coords[a] - g[None]
+        b = (r < -float(halo)) | (r > float(halo) + 1.0)
+        bad = b if bad is None else bad | b
+    return bad
+
+
+def repair_frac() -> float:
+    """Repair budget as a fraction of output voxels (the K of the
+    sparse exact fix-up). Registration dfs are smooth with thin
+    large-displacement tails, so 1% covers init-state and most trained
+    models while keeping the fix-up gather ~100x smaller than a full
+    XLA gather warp."""
+    return float(os.environ.get("PULPO_WARP_REPAIR_FRAC", "0.01"))
+
+
+def _exact_warp_rows(moving: jnp.ndarray, flat_idx: jnp.ndarray,
+                     df_rows: jnp.ndarray) -> jnp.ndarray:
+    """Exact trilinear warp values (K, C) at K flattened (b_df, *spatial)
+    output voxels, given their displacement rows (K, nd). Bit-matches
+    ops/warp.py:warp_image (same coordinate/corner/weight formulas), so
+    jax.vjp of this in `df_rows` is the exact per-point df-cotangent."""
+    spatial = moving.shape[1:-1]
+    ndims = len(spatial)
+    b = moving.shape[0]
+    c = moving.shape[-1]
+    nvox = math.prod(spatial)
+
+    bi = flat_idx // nvox
+    r = flat_idx % nvox
+    gs = []
+    for s in reversed(spatial):
+        gs.append(r % s)
+        r = r // s
+    gs = gs[::-1]
+
+    i0, i1, w = [], [], []
+    for a, s in enumerate(spatial):
+        src = (gs[a].astype(jnp.float32) + df_rows[:, a].astype(jnp.float32)
+               ) * (s / (s - 1.0)) - 0.5
+        src = jnp.clip(src, 0.0, s - 1.0)
+        f = jnp.floor(src)
+        idx0 = f.astype(jnp.int32)
+        i0.append(idx0)
+        i1.append(jnp.minimum(idx0 + 1, s - 1))
+        w.append(src - f)
+
+    strides = []
+    acc = 1
+    for s in reversed(spatial):
+        strides.append(acc)
+        acc *= s
+    strides = strides[::-1]
+    base = (bi % b) * nvox
+
+    out = None
+    for corner in range(2**ndims):
+        idx = base
+        weight = None
+        for ax in range(ndims):
+            hi = (corner >> ax) & 1
+            iax = i1[ax] if hi else i0[ax]
+            wax = w[ax] if hi else (1.0 - w[ax])
+            idx = idx + iax * strides[ax]
+            weight = wax if weight is None else weight * wax
+        chans = [jnp.take(moving[..., ci].reshape(-1).astype(jnp.float32),
+                          idx, axis=0) for ci in range(c)]
+        contrib = jnp.stack(chans, axis=-1) * weight[:, None]
+        out = contrib if out is None else out + contrib
+    return out
+
+
+def warp_repaired(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
+                  k: int, interpret: bool = False) -> jnp.ndarray:
+    """H-stencil everywhere + exact sparse fix-up of the (<= k)
+    out-of-bound voxels. The stencil output is garbage exactly where
+    `halo_bad_mask` is set; those voxels are recomputed with the exact
+    gather formula at K points and scattered in. Callers must guard
+    count_bad <= k (warp_cascaded does)."""
+    out = _warp_halo_pallas(moving, df, halo, interpret)
+    c = moving.shape[-1]
+    bad = halo_bad_mask(df, halo)
+    idx = jnp.nonzero(bad.reshape(-1), size=k, fill_value=0)[0]
+    df_rows = df.reshape(-1, df.shape[-1])[idx]
+    vals = _exact_warp_rows(moving, idx, df_rows)
+    flat = out.reshape(-1, c)
+    # fill slots (idx 0) scatter voxel 0's exact value over itself (a
+    # good voxel's stencil value IS the exact value) — idempotent
+    flat = flat.at[idx].set(vals.astype(flat.dtype))
+    return flat.reshape(out.shape)
+
+
 def halo_cascade() -> tuple[int, ...]:
     """Halo tiers tried in order (comma-separated PULPO_WARP_HALO).
 
@@ -450,9 +551,13 @@ def warp_cascaded(moving: jnp.ndarray, df: jnp.ndarray,
                   halos: tuple[int, ...] | None = None,
                   interpret: bool = False) -> jnp.ndarray:
     """Tiered guarded warp: try each halo size in order (smallest =
-    fastest kernel first), fall back to the XLA gather when the df
-    exceeds every tier. All tiers compile into the program; exactly one
-    branch executes per call."""
+    fastest kernel first); beyond the last tier, run the largest-tier
+    stencil with a sparse exact repair of the out-of-bound voxels
+    (<= 1% of the volume by default — one outlier no longer forfeits
+    the kernel); only past THAT budget fall back to the full XLA
+    gather. All tiers compile into the program; exactly one branch
+    executes per call. Every branch is exact (tests/test_kernels.py).
+    """
     if halos is None:
         halos = halo_cascade()
     if not halos:
@@ -460,6 +565,19 @@ def warp_cascaded(moving: jnp.ndarray, df: jnp.ndarray,
 
         return warp_image(moving, df)
     h, rest = halos[0], halos[1:]
+    if not rest:
+        from pulpo_tpu.ops.warp import warp_image
+
+        k = max(1, int(repair_frac() * df.shape[0]
+                       * math.prod(df.shape[1:-1])))
+        n_bad = jnp.sum(halo_bad_mask(df, h))
+        branch = jnp.where(n_bad == 0, 0, jnp.where(n_bad <= k, 1, 2))
+        return jax.lax.switch(
+            branch,
+            [lambda m, d: _warp_halo_pallas(m, d, h, interpret),
+             lambda m, d: warp_repaired(m, d, h, k, interpret),
+             warp_image],
+            moving, df)
     return jax.lax.cond(
         halo_bound_ok(df, h),
         lambda m, d: _warp_halo_pallas(m, d, h, interpret),
@@ -467,16 +585,49 @@ def warp_cascaded(moving: jnp.ndarray, df: jnp.ndarray,
         moving, df)
 
 
+def _dfgrad_repaired(moving, df, g, halo, k, interpret=False):
+    """dfgrad stencil + exact per-point repair: the same K bad voxels
+    as the forward get their df-cotangent from jax.vjp of
+    `_exact_warp_rows` (bit-matching the XLA composition)."""
+    out = _warp_halo_dfgrad_pallas(moving, df, g, halo, interpret)
+    bad = halo_bad_mask(df, halo)
+    idx = jnp.nonzero(bad.reshape(-1), size=k, fill_value=0)[0]
+    nd = df.shape[-1]
+    df_rows = df.reshape(-1, nd)[idx]
+    g_rows = g.astype(jnp.float32).reshape(-1, g.shape[-1])[idx]
+    _, vjp = jax.vjp(lambda dr: _exact_warp_rows(moving, idx, dr), df_rows)
+    rows = vjp(g_rows)[0]
+    flat = out.reshape(-1, nd)
+    flat = flat.at[idx].set(rows.astype(flat.dtype))
+    return flat.reshape(out.shape)
+
+
 def _dfgrad_cascaded(moving, df, g, halos, interpret=False):
     """df-cotangent via the same guard cascade as the forward: the
     Pallas dfgrad kernel at the smallest tier whose bound holds, the
-    XLA composition's VJP beyond every tier."""
+    sparse-repaired kernel within the repair budget, the XLA
+    composition's VJP beyond."""
     from pulpo_tpu.ops.warp import warp_image
 
+    def xla_dfgrad(m, d, gg):
+        _, vjp = jax.vjp(warp_image, m, d)
+        return vjp(gg)[1].astype(jnp.float32)
+
     if not halos:
-        _, vjp = jax.vjp(warp_image, moving, df)
-        return vjp(g)[1].astype(jnp.float32)
+        return xla_dfgrad(moving, df, g)
     h, rest = halos[0], halos[1:]
+    if not rest:
+        k = max(1, int(repair_frac() * df.shape[0]
+                       * math.prod(df.shape[1:-1])))
+        n_bad = jnp.sum(halo_bad_mask(df, h))
+        branch = jnp.where(n_bad == 0, 0, jnp.where(n_bad <= k, 1, 2))
+        return jax.lax.switch(
+            branch,
+            [lambda m, d, gg: _warp_halo_dfgrad_pallas(m, d, gg, h,
+                                                       interpret),
+             lambda m, d, gg: _dfgrad_repaired(m, d, gg, h, k, interpret),
+             xla_dfgrad],
+            moving, df, g)
     return jax.lax.cond(
         halo_bound_ok(df, h),
         lambda m, d, gg: _warp_halo_dfgrad_pallas(m, d, gg, h, interpret),

@@ -311,6 +311,49 @@ class TestWarpHalo:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
 
+    def _outlier_df(self, shape, n_out, mag=6.0, seed=20):
+        """Smooth small df + n_out isolated large-displacement voxels
+        (the trained-model regime the repair tier exists for)."""
+        rng = np.random.default_rng(seed)
+        df = rng.uniform(-0.8, 0.8, size=shape + (3,)).astype(np.float32)
+        flat = df.reshape(-1, 3)
+        pick = rng.choice(flat.shape[0], size=n_out, replace=False)
+        flat[pick] = rng.uniform(mag - 1.0, mag, (n_out, 3)) * np.where(
+            rng.random((n_out, 3)) < 0.5, -1.0, 1.0)
+        return jnp.asarray(df)
+
+    @pytest.mark.parametrize("n_out", [3, 400])
+    def test_cascade_repair_tier_matches_xla(self, n_out):
+        """A few out-of-bound voxels take the sparse-repair branch
+        (n_out=3 <= k); too many (400 > k=16 at this volume) falls back
+        to the full XLA gather. Both must equal warp_image exactly."""
+        from pulpo_tpu.kernels.warp_halo import halo_bad_mask, warp_cascaded
+        from pulpo_tpu.ops.warp import warp_image
+
+        shape = (1, 10, 12, 14)
+        mov = self._field(shape + (1,), 1.0, seed=21)
+        df = self._outlier_df(shape, n_out)
+        assert int(jnp.sum(halo_bad_mask(df, 3))) >= n_out // 2
+        ref = warp_image(mov, df)
+        got = warp_cascaded(mov, df, halos=(2, 3), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("n_out", [3, 400])
+    def test_dfgrad_repair_tier_matches_xla(self, n_out):
+        from pulpo_tpu.kernels.warp_halo import _dfgrad_cascaded
+        from pulpo_tpu.ops.warp import warp_image
+
+        shape = (1, 10, 12, 14)
+        mov = self._field(shape + (1,), 1.0, seed=22)
+        df = self._outlier_df(shape, n_out, seed=23)
+        g = self._field(shape + (1,), 1.0, seed=24)
+        _, vjp = jax.vjp(warp_image, mov, df)
+        ref = vjp(g)[1]
+        got = _dfgrad_cascaded(mov, df, g, (2, 3), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_cascade_grad_matches_xla(self):
         from pulpo_tpu.kernels.warp_halo import warp_cascaded_grad
         from pulpo_tpu.ops.warp import warp_image
