@@ -412,13 +412,34 @@ def halo_bad_mask(df: jnp.ndarray, halo: int) -> jnp.ndarray:
     return bad
 
 
-def repair_frac() -> float:
-    """Repair budget as a fraction of output voxels (the K of the
-    sparse exact fix-up). Registration dfs are smooth with thin
-    large-displacement tails, so 1% covers init-state and most trained
-    models while keeping the fix-up gather ~100x smaller than a full
-    XLA gather warp."""
-    return float(os.environ.get("PULPO_WARP_REPAIR_FRAC", "0.01"))
+def repair_fracs() -> tuple[float, ...]:
+    """Repair budgets as fractions of output voxels (the K ladder of
+    the sparse exact fix-up), ascending. The searchsorted compaction
+    scales with K (measured full-res v5e: 0.074 s at K=64K, 0.57 s at
+    K=1.1M), so the cascade branches on the actual out-of-bound count
+    and runs the smallest budget that fits: trained models (thin
+    large-displacement tails) hit the 0.1% tier at ~0.2 s overhead;
+    init-state dfs (broader tails) still clear the 2% tier at ~0.7 s —
+    both far under the 4.5 s full XLA gather."""
+    spec = os.environ.get("PULPO_WARP_REPAIR_FRAC", "0.001,0.02")
+    return tuple(sorted(float(f) for f in spec.split(",") if f))
+
+
+def repair_budgets(df: jnp.ndarray) -> tuple[int, ...]:
+    """Static repair-point budgets (K ladder) from repair_fracs()."""
+    nvox = df.shape[0] * math.prod(df.shape[1:-1])
+    return tuple(max(1, int(f * nvox)) for f in repair_fracs())
+
+
+def _repair_indices(bad_flat: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Flat indices of the first k set bits of `bad_flat`; slots past
+    the true count hold n = bad_flat.size (gathers clip, scatters
+    drop). cumsum + searchsorted instead of jnp.nonzero(size=k): the
+    nonzero lowering scatters all n rows on the scalar core (measured
+    0.53 s at n=55M full-res), while the prefix sum is a vector op
+    (0.05 s) and the k binary searches touch only k*log2(n) rows."""
+    cs = jnp.cumsum(bad_flat.astype(jnp.int32))
+    return jnp.searchsorted(cs, jnp.arange(1, k + 1, dtype=jnp.int32))
 
 
 def _exact_warp_rows(moving: jnp.ndarray, flat_idx: jnp.ndarray,
@@ -477,23 +498,20 @@ def _exact_warp_rows(moving: jnp.ndarray, flat_idx: jnp.ndarray,
     return out
 
 
-def warp_repaired(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
-                  k: int, interpret: bool = False) -> jnp.ndarray:
-    """H-stencil everywhere + exact sparse fix-up of the (<= k)
-    out-of-bound voxels. The stencil output is garbage exactly where
-    `halo_bad_mask` is set; those voxels are recomputed with the exact
-    gather formula at K points and scattered in. Callers must guard
-    count_bad <= k (warp_cascaded does)."""
+def warp_repaired(moving: jnp.ndarray, df: jnp.ndarray, bad: jnp.ndarray,
+                  halo: int, k: int, interpret: bool = False) -> jnp.ndarray:
+    """H-stencil everywhere + exact sparse fix-up: the (<= k)
+    out-of-bound voxels flagged by `bad` (= halo_bad_mask(df, halo))
+    are recomputed with the exact gather formula at K points and
+    scattered in. The stencil output is garbage exactly where `bad` is
+    set. Callers must guard sum(bad) <= k (warp_cascaded does)."""
     out = _warp_halo_pallas(moving, df, halo, interpret)
     c = moving.shape[-1]
-    bad = halo_bad_mask(df, halo)
-    idx = jnp.nonzero(bad.reshape(-1), size=k, fill_value=0)[0]
+    idx = _repair_indices(bad.reshape(-1), k)
     df_rows = df.reshape(-1, df.shape[-1])[idx]
     vals = _exact_warp_rows(moving, idx, df_rows)
     flat = out.reshape(-1, c)
-    # fill slots (idx 0) scatter voxel 0's exact value over itself (a
-    # good voxel's stencil value IS the exact value) — idempotent
-    flat = flat.at[idx].set(vals.astype(flat.dtype))
+    flat = flat.at[idx].set(vals.astype(flat.dtype), mode="drop")
     return flat.reshape(out.shape)
 
 
@@ -568,16 +586,21 @@ def warp_cascaded(moving: jnp.ndarray, df: jnp.ndarray,
     if not rest:
         from pulpo_tpu.ops.warp import warp_image
 
-        k = max(1, int(repair_frac() * df.shape[0]
-                       * math.prod(df.shape[1:-1])))
-        n_bad = jnp.sum(halo_bad_mask(df, h))
-        branch = jnp.where(n_bad == 0, 0, jnp.where(n_bad <= k, 1, 2))
-        return jax.lax.switch(
-            branch,
-            [lambda m, d: _warp_halo_pallas(m, d, h, interpret),
-             lambda m, d: warp_repaired(m, d, h, k, interpret),
-             warp_image],
-            moving, df)
+        ks = repair_budgets(df)
+        bad = halo_bad_mask(df, h)
+        n_bad = jnp.sum(bad)
+        # branch 0: clean stencil; 1..len(ks): smallest repair budget
+        # that fits; last: full XLA gather
+        branch = jnp.int32(0)
+        for k in reversed(ks):
+            branch = jnp.where(n_bad <= k, branch, branch + 1)
+        branch = jnp.where(n_bad == 0, 0, branch + 1)
+        fns = [lambda m, d, _b: _warp_halo_pallas(m, d, h, interpret)]
+        fns += [functools.partial(
+            lambda m, d, b, _k: warp_repaired(m, d, b, h, _k, interpret),
+            _k=k) for k in ks]
+        fns.append(lambda m, d, _b: warp_image(m, d))
+        return jax.lax.switch(branch, fns, moving, df, bad)
     return jax.lax.cond(
         halo_bound_ok(df, h),
         lambda m, d: _warp_halo_pallas(m, d, h, interpret),
@@ -585,20 +608,19 @@ def warp_cascaded(moving: jnp.ndarray, df: jnp.ndarray,
         moving, df)
 
 
-def _dfgrad_repaired(moving, df, g, halo, k, interpret=False):
+def _dfgrad_repaired(moving, df, g, bad, halo, k, interpret=False):
     """dfgrad stencil + exact per-point repair: the same K bad voxels
     as the forward get their df-cotangent from jax.vjp of
     `_exact_warp_rows` (bit-matching the XLA composition)."""
     out = _warp_halo_dfgrad_pallas(moving, df, g, halo, interpret)
-    bad = halo_bad_mask(df, halo)
-    idx = jnp.nonzero(bad.reshape(-1), size=k, fill_value=0)[0]
+    idx = _repair_indices(bad.reshape(-1), k)
     nd = df.shape[-1]
     df_rows = df.reshape(-1, nd)[idx]
     g_rows = g.astype(jnp.float32).reshape(-1, g.shape[-1])[idx]
     _, vjp = jax.vjp(lambda dr: _exact_warp_rows(moving, idx, dr), df_rows)
     rows = vjp(g_rows)[0]
     flat = out.reshape(-1, nd)
-    flat = flat.at[idx].set(rows.astype(flat.dtype))
+    flat = flat.at[idx].set(rows.astype(flat.dtype), mode="drop")
     return flat.reshape(out.shape)
 
 
@@ -617,17 +639,21 @@ def _dfgrad_cascaded(moving, df, g, halos, interpret=False):
         return xla_dfgrad(moving, df, g)
     h, rest = halos[0], halos[1:]
     if not rest:
-        k = max(1, int(repair_frac() * df.shape[0]
-                       * math.prod(df.shape[1:-1])))
-        n_bad = jnp.sum(halo_bad_mask(df, h))
-        branch = jnp.where(n_bad == 0, 0, jnp.where(n_bad <= k, 1, 2))
-        return jax.lax.switch(
-            branch,
-            [lambda m, d, gg: _warp_halo_dfgrad_pallas(m, d, gg, h,
-                                                       interpret),
-             lambda m, d, gg: _dfgrad_repaired(m, d, gg, h, k, interpret),
-             xla_dfgrad],
-            moving, df, g)
+        ks = repair_budgets(df)
+        bad = halo_bad_mask(df, h)
+        n_bad = jnp.sum(bad)
+        branch = jnp.int32(0)
+        for k in reversed(ks):
+            branch = jnp.where(n_bad <= k, branch, branch + 1)
+        branch = jnp.where(n_bad == 0, 0, branch + 1)
+        fns = [lambda m, d, gg, _b: _warp_halo_dfgrad_pallas(m, d, gg, h,
+                                                             interpret)]
+        fns += [functools.partial(
+            lambda m, d, gg, b, _k: _dfgrad_repaired(m, d, gg, b, h, _k,
+                                                     interpret),
+            _k=k) for k in ks]
+        fns.append(lambda m, d, gg, _b: xla_dfgrad(m, d, gg))
+        return jax.lax.switch(branch, fns, moving, df, g, bad)
     return jax.lax.cond(
         halo_bound_ok(df, h),
         lambda m, d, gg: _warp_halo_dfgrad_pallas(m, d, gg, h, interpret),

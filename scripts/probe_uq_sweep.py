@@ -59,7 +59,7 @@ def main():
     acts = model.module.apply(variables, x, y, train=False,
                               method=PULPoModule.encode)
 
-    for chunk in (4, 8, 16):
+    for chunk in (4,):
         def dec(v, xx, a, ks):
             outs = model.module.apply(v, xx, a, False, False,
                                       method=PULPoModule.decode,
@@ -77,7 +77,7 @@ def main():
                   f"{str(e)[:200]}", flush=True)
 
     # 2) full UQ-32 at the bench operating points
-    for b, chunk in ((2, 4), (2, 8), (4, 4)):
+    for b, chunk in ((2, 4),):
         xb = jnp.asarray(jax.random.uniform(jax.random.key(3), (b, *size, 1)))
         yb = jnp.asarray(jax.random.uniform(jax.random.key(4), (b, *size, 1)))
 

@@ -322,24 +322,47 @@ class TestWarpHalo:
             rng.random((n_out, 3)) < 0.5, -1.0, 1.0)
         return jnp.asarray(df)
 
-    @pytest.mark.parametrize("n_out", [3, 400])
+    def test_repair_indices_matches_nonzero(self):
+        """cumsum+searchsorted compaction == jnp.nonzero(size=k) up to
+        the fill convention (ours fills with n, nonzero fills with the
+        given fill_value)."""
+        from pulpo_tpu.kernels.warp_halo import _repair_indices
+
+        rng = np.random.default_rng(7)
+        for n_set, k in ((0, 4), (5, 8), (8, 8), (20, 8)):
+            bad = np.zeros(200, dtype=bool)
+            bad[rng.choice(200, size=n_set, replace=False)] = True
+            got = np.asarray(_repair_indices(jnp.asarray(bad), k))
+            want = np.flatnonzero(bad)[:k]
+            np.testing.assert_array_equal(got[: len(want)], want)
+            assert (got[len(want):] == 200).all()
+
+    @pytest.mark.parametrize("n_out", [1, 20, 400])
     def test_cascade_repair_tier_matches_xla(self, n_out):
-        """A few out-of-bound voxels take the sparse-repair branch
-        (n_out=3 <= k); too many (400 > k=16 at this volume) falls back
-        to the full XLA gather. Both must equal warp_image exactly."""
-        from pulpo_tpu.kernels.warp_halo import halo_bad_mask, warp_cascaded
+        """A single out-of-bound voxel takes the small-budget repair
+        branch (k=1), more take the large-budget branch (20 <= 2% = 33),
+        too many (400) fall back to the full XLA gather. All must equal
+        warp_image exactly."""
+        from pulpo_tpu.kernels.warp_halo import (
+            halo_bad_mask,
+            repair_budgets,
+            warp_cascaded,
+        )
         from pulpo_tpu.ops.warp import warp_image
 
         shape = (1, 10, 12, 14)
         mov = self._field(shape + (1,), 1.0, seed=21)
         df = self._outlier_df(shape, n_out)
-        assert int(jnp.sum(halo_bad_mask(df, 3))) >= n_out // 2
+        ks = repair_budgets(df)
+        n_bad = int(jnp.sum(halo_bad_mask(df, 3)))
+        assert (n_bad <= ks[-1]) == (n_out != 400), (n_bad, ks)
+        assert (n_bad <= ks[0]) == (n_out == 1), (n_bad, ks)
         ref = warp_image(mov, df)
         got = warp_cascaded(mov, df, halos=(2, 3), interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
-    @pytest.mark.parametrize("n_out", [3, 400])
+    @pytest.mark.parametrize("n_out", [1, 20, 400])
     def test_dfgrad_repair_tier_matches_xla(self, n_out):
         from pulpo_tpu.kernels.warp_halo import _dfgrad_cascaded
         from pulpo_tpu.ops.warp import warp_image
