@@ -94,6 +94,7 @@ def _make_model(input_size, batch_size: int = 1):
         n0=32,
         batch_size=batch_size,
         compute_dtype=os.environ.get("PULPO_BENCH_DTYPE", "bfloat16"),
+        remat=bool(os.environ.get("PULPO_BENCH_REMAT")),
         dataset="oasis",
     )
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None

@@ -165,9 +165,11 @@ def _warp_halo_pallas(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
 
     # VMEM budget: moving slab (C, bz+2H+1, s1p, s2p) + df slab + the
     # per-iteration working set (wx/wy tap lists, rel, accumulators —
-    # all (bz, S1, S2)); keep the estimate under 8M of the 16M scoped
-    # stack to leave room for Mosaic temporaries. PULPO_WARP_BZ
-    # overrides for tuning.
+    # all (bz, S1, S2)). Mosaic's true scoped-stack high-water mark runs
+    # ~4-5x this estimate for the unrolled tap chains (measured round 3:
+    # est 6.8M -> actual 31.5M at taps=8, 80x96x112, bz=4), so the
+    # budget is 3M of the 16M limit — level-res shapes land on bz=1-2,
+    # full-res was already there. PULPO_WARP_BZ overrides for tuning.
     env_bz = os.environ.get("PULPO_WARP_BZ")
     if env_bz:
         target = int(env_bz)
@@ -178,7 +180,7 @@ def _warp_halo_pallas(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
             est = 4 * (c * (target + taps - 1) * s1p * s2p        # mbuf
                        + 3 * target * s1d * s2d                   # dbuf
                        + (n_w + 4 + 2 * c) * target * S1 * S2)
-            if est <= 8 * 2**20:
+            if est <= 3 * 2**20:
                 break
             target //= 2
     bz = _pick_slab(S0, target=target)
@@ -351,7 +353,7 @@ def _warp_halo_dfgrad_pallas(moving: jnp.ndarray, df: jnp.ndarray,
             est = 4 * (c * (target + taps - 1) * s1p * s2p
                        + (3 + c) * target * s1d * s2d
                        + n_w * target * S1 * S2)
-            if est <= 8 * 2**20:
+            if est <= 3 * 2**20:  # see the forward's budget comment
                 break
             target //= 2
     bz = _pick_slab(S0, target=target)

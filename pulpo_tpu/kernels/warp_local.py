@@ -27,6 +27,7 @@ a forward-path accelerator; training numerics are unchanged.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -349,18 +350,63 @@ def _squaring_step_bwd_pallas(vec: jnp.ndarray, g: jnp.ndarray,
 # 10x12x14=1.7k; scripts/bench_warp_kernel.py)
 MIN_PALLAS_VOXELS = 8000
 
+def SQUARING_HALOS() -> tuple[int, ...]:
+    """Halo tiers for past-sub-voxel squaring steps. H=5 (taps=12) OOMs
+    Mosaic's 16M scoped-VMEM stack even at level-res shapes (measured
+    27.3M at 80x96x112 bz=2 — the 144-tap unrolled (oy, ox) chain keeps
+    far more live than the slab estimator assumes), so the hardware
+    default stops at H=3; fields past ~2.3 voxels/axis per step use the
+    sparse repair ladder, then the exact XLA gather."""
+    spec = os.environ.get("PULPO_SQUARING_HALO", "2,3")
+    return tuple(int(h) for h in spec.split(",") if h)
 
-@jax.custom_vjp
-def squaring_step(vec: jnp.ndarray) -> jnp.ndarray:
-    """One guarded scaling-and-squaring step: Pallas stencil when the
-    field is sub-voxel (exactness bound), XLA gather otherwise."""
+
+def _squaring_step_tiered(vec: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+    """One scaling-and-squaring step, tiered by displacement magnitude.
+
+    The fused 27-tap stencil handles the sub-voxel regime (early steps:
+    after the 1/2^7 scaling displacements start tiny). Late steps double
+    the field past the sub-voxel bound — at init-state ~1.5 voxels and
+    for trained models up to |df|/2 — which previously fell back to the
+    full XLA gather (measured ~2.7 s/step at level-0 shapes, 2.1 s of a
+    3.1 s UQ decode chunk, probe_decode_bisect). Those steps now route
+    through the general halo-stencil cascade (kernels/warp_halo.py,
+    H in SQUARING_HALOS + sparse exact repair + XLA fallback); every
+    branch is exact, so results still bit-match the reference VecInt.
+    """
     import math
 
     if math.prod(vec.shape[1:-1]) < MIN_PALLAS_VOXELS:
         return _squaring_step_xla(vec)
     bound = local_bound(vec.shape[1:-1])
     safe = jnp.max(jnp.abs(vec)) <= bound
-    return jax.lax.cond(safe, _squaring_step_pallas, _squaring_step_xla, vec)
+    if (vec.shape[-1] != 3
+            or any(s < 2 * max(SQUARING_HALOS()) + 2 for s in vec.shape[1:-1])):
+        # 2D / thin volumes: sub-voxel stencil or the XLA gather, as before
+        return jax.lax.cond(
+            safe, functools.partial(_squaring_step_pallas, interpret=interpret),
+            _squaring_step_xla, vec)
+    from pulpo_tpu.kernels.warp_halo import warp_cascaded
+
+    return jax.lax.cond(
+        safe,
+        functools.partial(_squaring_step_pallas, interpret=interpret),
+        lambda v: v + warp_cascaded(v, v, halos=SQUARING_HALOS(),
+                                    interpret=interpret),
+        vec)
+
+
+@jax.custom_vjp
+def squaring_step(vec: jnp.ndarray) -> jnp.ndarray:
+    """One guarded scaling-and-squaring step: fused Pallas stencil while
+    the field is sub-voxel, halo-tier cascade past it (exact at every
+    tier; see _squaring_step_tiered)."""
+    import math
+
+    if math.prod(vec.shape[1:-1]) < MIN_PALLAS_VOXELS:
+        return _squaring_step_xla(vec)
+    return _squaring_step_tiered(vec)
 
 
 def _squaring_step_fwd(vec):

@@ -105,6 +105,45 @@ class TestWarpLocal:
         got = _squaring_step_pallas(vec, interpret=True)
         np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-7)
 
+    @pytest.mark.parametrize("mag", [0.3, 1.2, 2.2, 4.0, 8.0])
+    def test_tiered_step_matches_xla_all_magnitudes(self, mag):
+        """_squaring_step_tiered == the XLA self-warp at every
+        displacement regime: sub-voxel (fused 27-tap), each halo tier
+        (H=2/3/5 via warp_cascaded), and past all tiers (repair ladder /
+        gather fallback). Shape above MIN_PALLAS_VOXELS so the tiered
+        path is actually taken."""
+        from pulpo_tpu.kernels.warp_local import _squaring_step_tiered
+        from pulpo_tpu.ops.warp import warp_image
+
+        shape = (1, 20, 24, 28, 3)  # 13k voxels >= MIN_PALLAS_VOXELS
+        rng = np.random.default_rng(11)
+        v = rng.uniform(-1, 1, size=shape).astype(np.float32)
+        v *= mag / np.abs(v).max()
+        vec = jnp.asarray(v)
+        ref = vec + warp_image(vec, vec)
+        got = _squaring_step_tiered(vec, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_tiered_integration_matches_xla_above_threshold(self):
+        """7-step integration of a large field at a >=MIN_PALLAS_VOXELS
+        shape: late squaring steps cross into the halo tiers (the hot
+        path probe_decode_bisect found) and must still match
+        ops.warp.integrate_svf."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from pulpo_tpu.kernels.warp_local import integrate_svf_pallas
+        from pulpo_tpu.ops.warp import integrate_svf
+
+        rng = np.random.default_rng(12)
+        vec = jnp.asarray(
+            rng.uniform(-8, 8, size=(1, 20, 24, 28, 3)).astype(np.float32))
+        ref = integrate_svf(vec, nsteps=7)
+        with pltpu.force_tpu_interpret_mode():
+            got = integrate_svf_pallas(vec, nsteps=7)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-3)
+
     @pytest.mark.parametrize("shape", [
         (1, 10, 12, 14, 3),
         (2, 8, 9, 11, 3),  # odd sizes exercise slab/halo edges
