@@ -186,8 +186,7 @@ def bench_train(input_size, batch: int, iters: int):
     return iters * batch / dt
 
 
-def main():
-    _enable_compile_cache()
+def _main_inner():
     input_size = (160, 192, 224)
     small = bool(os.environ.get("PULPO_BENCH_SMALL"))
     if small:  # quick CI / CPU sanity mode
@@ -224,6 +223,26 @@ def main():
         }
     print(json.dumps(result))
     return result
+
+
+def main():
+    _enable_compile_cache()
+    # The axon relay occasionally restarts (measured round 3: a ~1h
+    # window where even backend init hung). A transient transport
+    # failure should not void the round's benchmark — retry a couple of
+    # times with a backoff before giving up.
+    for attempt in range(3):
+        try:
+            return _main_inner()
+        except Exception as e:  # noqa: BLE001 - relay errors vary by layer
+            transient = any(s in str(e) for s in (
+                "Connection refused", "Connection Failed", "UNAVAILABLE",
+                "transport", "crashed or restarted"))
+            if not transient or attempt == 2:
+                raise
+            print(f"# relay error (attempt {attempt + 1}), retrying in 120s: "
+                  f"{str(e)[:200]}", file=sys.stderr, flush=True)
+            time.sleep(120)
 
 
 if __name__ == "__main__":
