@@ -201,7 +201,7 @@ def _main_inner():
     batch = int(os.environ.get("PULPO_BENCH_BATCH", "2"))
     iters = int(os.environ.get("PULPO_BENCH_ITERS", "5"))
 
-    res_tag = f"{proxy}res" if proxy else "fullres"
+    res_tag = f"{proxy}res" if proxy else ("small" if small else "fullres")
     if mode == "train":
         sps = bench_train(input_size, batch, iters)
         result = {
