@@ -47,6 +47,11 @@ from pulpo_tpu.kernels.warp_local import _pick_slab, _round_up
 # which real Mosaic rejects — those tiers exist for interpret mode only.
 UNROLL_TAPS_MAX = 12
 
+# above this tap count, per-axis hat weights are recomputed inline per
+# (oy, ox) instead of precomputed as 2*taps live VMEM arrays (the lists
+# dominate Mosaic's scoped-stack high-water mark for long chains)
+INLINE_W_TAPS = 8
+
 
 def _warp_halo_kernel(mov_hbm, df_hbm, out_ref, mbuf, dbuf, sem_m, sem_d, *,
                       bz: int, halo: int, spatial, c: int, b_mov: int):
@@ -88,21 +93,37 @@ def _warp_halo_kernel(mov_hbm, df_hbm, out_ref, mbuf, dbuf, sem_m, sem_d, *,
     def hat(r, o):
         return jnp.maximum(0.0, 1.0 - jnp.abs(r - o))
 
-    # x/y-axis weights are reused taps^2 times each -> precompute; the
-    # z taps run in a fori_loop so each iteration's temporaries are
-    # scoped (a fully unrolled taps^3 chain overflows Mosaic's 16M
-    # scoped-VMEM stack: measured 18-26M at taps=6 full-res). Beyond
-    # UNROLL_TAPS_MAX the oy taps run in a nested fori_loop — but real
-    # Mosaic rejects dynamic sublane-dim slice starts ("cannot
-    # statically prove index is a multiple of 8"), so that path is
-    # interpret-only; hardware tiers are capped at UNROLL_TAPS_MAX
-    # (see halo_cascade).
-    wx = [hat(rel[2], float(ox - halo)) for ox in range(taps)]
+    # x/y-axis weights are reused taps^2 times each -> precompute for
+    # small tap counts; the z taps run in a fori_loop so each
+    # iteration's temporaries are scoped (a fully unrolled taps^3 chain
+    # overflows Mosaic's 16M scoped-VMEM stack: measured 18-26M at
+    # taps=6 full-res). For taps > INLINE_W_TAPS the wy/wx lists
+    # themselves dominate the live set (Mosaic's stack high-water runs
+    # ~4-5x the analytic estimate for long unrolled chains) — recompute
+    # the weights inline per (oy, ox) instead: ~2 live temporaries at
+    # taps^2 extra cheap VPU ops. Beyond UNROLL_TAPS_MAX the oy taps
+    # would need a fori_loop, which real Mosaic rejects for dynamic
+    # sublane-dim slice starts ("cannot statically prove index is a
+    # multiple of 8") — that path is interpret-only; hardware tiers are
+    # capped at UNROLL_TAPS_MAX (see halo_cascade).
+    inline_w = taps > INLINE_W_TAPS
+    wx = None if inline_w else [hat(rel[2], float(ox - halo))
+                                for ox in range(taps)]
     wy = ([hat(rel[1], float(oy - halo)) for oy in range(taps)]
-          if taps <= UNROLL_TAPS_MAX else None)
+          if not inline_w and taps <= UNROLL_TAPS_MAX else None)
 
     def z_tap(oz, acc):
         wz = hat(rel[0], (oz - halo).astype(jnp.float32))
+        if inline_w and taps <= UNROLL_TAPS_MAX:
+            for oy in range(taps):
+                wzy = wz * hat(rel[1], float(oy - halo))
+                for ox in range(taps):
+                    w = wzy * hat(rel[2], float(ox - halo))
+                    acc = tuple(
+                        acc[ch] + w * mbuf[ch, pl.ds(oz, bz),
+                                           oy:oy + S1, ox:ox + S2]
+                        for ch in range(c))
+            return acc
         if wy is not None:
             for oy in range(taps):
                 wzy = wz * wy[oy]
@@ -174,7 +195,7 @@ def _warp_halo_pallas(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
     if env_bz:
         target = int(env_bz)
     else:
-        n_w = 2 * taps if taps <= UNROLL_TAPS_MAX else taps
+        n_w = 4 if taps > INLINE_W_TAPS else 2 * taps
         target = 8
         while target > 1:
             est = 4 * (c * (target + taps - 1) * s1p * s2p        # mbuf
