@@ -58,6 +58,31 @@ class _RawConv(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad)] * ndims
+        # large-volume 3x3x3 convs: hand-written tap-sum backward (XLA's
+        # conv-backward layouts 4x-pad full-res temps -> train-step OOM;
+        # ops/conv.py). Forward path is identical.
+        from pulpo_tpu.ops.conv import conv3d_tapgrad, use_tapgrad
+
+        if use_tapgrad(x, self.kernel_size, self.padding):
+            return conv3d_tapgrad(x, kernel)
+        # 96->96 convs hit a pathological XLA conv emitter (17.6 TFLOP/s
+        # measured vs 52-79 for 96->64/64->64/64->96 at the same shape);
+        # zero-padding both channel dims to the 128-lane width runs
+        # 4.4x faster (77.7 TFLOP/s) and is exact: extra in-channels are
+        # zeros, extra out-channels are sliced off (probe_conv2/3,
+        # PERF.md). These are the decode up_blocks' second convs — the
+        # single largest FLOP block of the UQ workload.
+        cin, cout = kernel.shape[-2], kernel.shape[-1]
+        if ndims == 3 and 96 <= cin < 128 and 96 <= cout < 128:
+            x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, 128 - cin),))
+            kernel = jnp.pad(
+                kernel, ((0, 0),) * ndims + ((0, 128 - cin), (0, 128 - cout)))
+            return self._conv_xla(x, kernel, pad)[..., :cout]
+        return self._conv_xla(x, kernel, pad)
+
+    @staticmethod
+    def _conv_xla(x, kernel, pad):
+        ndims = x.ndim - 2
         # flax's channels-last dimension numbers (linear.py)
         nd = x.ndim
         lhs_spec = (0, nd - 1) + tuple(range(1, nd - 1))

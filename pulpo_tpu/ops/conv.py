@@ -1,0 +1,132 @@
+"""3-D convolution with a tap-sum (shifted-matmul) backward.
+
+Why this exists: the full-res train step OOMs on a 16G v5e because
+XLA's conv *backward* emitters at (160, 192, 224, C=32) bf16 pick a
+spatially-split, tap-expanded layout for the saved activations — a
+1.27G leaky_relu output is materialized as bf16[160,192,8,29,32,3] with
+4.0x padding expansion (5.10G), and five more 1.7G siblings alongside
+(round-3 OOM dump, /tmp/bench_train_b1.log): 16.49G for a program whose
+unpadded live set is 5.23G. The forward conv is fine (the inference UQ
+program never sees these temps).
+
+The fix: keep the fast XLA forward, but define the VJP by hand as
+K^3 shifted matmuls (convolution is a sum of channel-mixing matmuls,
+one per tap):
+
+  dL/dx[u] = sum_t  g[u + p - t] @ k[t]^T     (pad g, slice per tap)
+  dL/dk[t] = x_pad[t : t+S]^T @ g             (pad x, slice per tap)
+
+Every operand keeps its natural channels-last layout; the per-tap
+slices are strided reads XLA fuses into the matmuls, and no
+tap-expanded temp ever exists. Matmuls accumulate in f32.
+
+Used by models/blocks.py for large-volume 3x3x3 convs (the full-res
+DownPath blocks, reference pulpo.py:9-62); small volumes keep the
+plain XLA vjp (its temps are harmless there and the emitter's fused
+backward is faster at level-res shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+# spatial-volume threshold above which ConvUnit routes through the
+# tap-sum backward (full-res 160x192x224 = 6.9M; the largest latent-res
+# level is 80x96x112 = 0.86M and stays on the XLA vjp)
+TAPGRAD_MIN_VOXELS = int(os.environ.get("PULPO_CONV_TAPGRAD_MIN_VOXELS",
+                                        str(4 * 2**20)))
+
+
+def _dn(nd: int) -> jax.lax.ConvDimensionNumbers:
+    """Channels-last dimension numbers (flax linear.py convention)."""
+    lhs = (0, nd - 1) + tuple(range(1, nd - 1))
+    rhs = (nd - 1, nd - 2) + tuple(range(0, nd - 2))
+    return jax.lax.ConvDimensionNumbers(lhs, rhs, lhs)
+
+
+def _conv_xla(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """SAME channels-last conv (the forward path, unchanged)."""
+    ndims = x.ndim - 2
+    return jax.lax.conv_general_dilated(
+        x, k, window_strides=(1,) * ndims, padding="SAME",
+        dimension_numbers=_dn(x.ndim))
+
+
+@jax.custom_vjp
+def conv3d_tapgrad(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """SAME 3-D conv, XLA forward, tap-sum backward.
+
+    x: (B, S0, S1, S2, Cin); k: (K, K, K, Cin, Cout), K odd.
+    """
+    return _conv_xla(x, k)
+
+
+def _tapgrad_fwd(x, k):
+    return _conv_xla(x, k), (x, k)
+
+
+def _tapgrad_bwd(res, g):
+    x, k = res
+    K = k.shape[0]
+    assert k.shape[:3] == (K, K, K) and K % 2 == 1, k.shape
+    p = (K - 1) // 2
+    spatial = x.shape[1:-1]
+    b = x.shape[0]
+    ci, co = k.shape[-2], k.shape[-1]
+    n = b
+    for s in spatial:
+        n *= s
+
+    kf = k.astype(jnp.float32).reshape(-1, ci, co)  # (K^3, Ci, Co)
+    gr = g.reshape(n, co)
+
+    # dL/dx[u] = sum_t g[u + p - t] @ k[t]^T  == conv(g, flip(k)^T):
+    # pad g by p per spatial axis, slice at (K-1-t) per tap.
+    gp = jnp.pad(g, ((0, 0),) + ((p, p),) * 3 + ((0, 0),))
+    # dL/dk[t] = x_pad[t:t+S]^T @ g  with x padded by p per axis.
+    xp = jnp.pad(x, ((0, 0),) + ((p, p),) * 3 + ((0, 0),))
+
+    dx = jnp.zeros((n, ci), jnp.float32)
+    dk = []
+    ti = 0
+    for tz in range(K):
+        for ty in range(K):
+            for tx in range(K):
+                sl_g = jax.lax.dynamic_slice(
+                    gp, (0, K - 1 - tz, K - 1 - ty, K - 1 - tx, 0),
+                    (b, *spatial, co)).reshape(n, co)
+                dx = dx + jax.lax.dot_general(
+                    sl_g, kf[ti], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                sl_x = jax.lax.dynamic_slice(
+                    xp, (0, tz, ty, tx, 0), (b, *spatial, ci)).reshape(n, ci)
+                dk.append(jax.lax.dot_general(
+                    sl_x, gr, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                ti += 1
+
+    dx = dx.reshape(x.shape).astype(x.dtype)
+    dk = jnp.stack(dk).reshape(k.shape).astype(k.dtype)
+    return dx, dk
+
+
+conv3d_tapgrad.defvjp(_tapgrad_fwd, _tapgrad_bwd)
+
+
+def use_tapgrad(x: jnp.ndarray, kernel_size: int, padding) -> bool:
+    """Route policy: 3-D SAME odd-kernel convs over large volumes on
+    TPU (where the XLA conv-backward layouts explode; see module
+    docstring). Threshold via PULPO_CONV_TAPGRAD_MIN_VOXELS."""
+    if os.environ.get("PULPO_NO_TAPGRAD"):
+        return False
+    if x.ndim != 5 or kernel_size < 3 or kernel_size % 2 != 1 \
+            or padding != "SAME":
+        return False
+    vol = 1
+    for s in x.shape[1:-1]:
+        vol *= s
+    return vol >= TAPGRAD_MIN_VOXELS
