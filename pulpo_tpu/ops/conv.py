@@ -90,27 +90,36 @@ def _tapgrad_bwd(res, g):
     # dL/dk[t] = x_pad[t:t+S]^T @ g  with x padded by p per axis.
     xp = jnp.pad(x, ((0, 0),) + ((p, p),) * 3 + ((0, 0),))
 
-    dx = jnp.zeros((n, ci), jnp.float32)
-    dk = []
-    ti = 0
-    for tz in range(K):
-        for ty in range(K):
-            for tx in range(K):
-                sl_g = jax.lax.dynamic_slice(
-                    gp, (0, K - 1 - tz, K - 1 - ty, K - 1 - tx, 0),
-                    (b, *spatial, co)).reshape(n, co)
-                dx = dx + jax.lax.dot_general(
-                    sl_g, kf[ti], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                sl_x = jax.lax.dynamic_slice(
-                    xp, (0, tz, ty, tx, 0), (b, *spatial, ci)).reshape(n, ci)
-                dk.append(jax.lax.dot_general(
-                    sl_x, gr, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-                ti += 1
+    # The taps run in a fori_loop, NOT unrolled: unrolled, XLA keeps all
+    # K^3 sliced (b, *spatial, C) operands live at once (measured: 16+
+    # resident 672M dynamic_slice temps at full res -> 20G, still OOM).
+    # Sequentialized, one slice pair exists at a time.
+    def body(t, carry):
+        dx_acc, dk_acc = carry
+        tz = t // (K * K)
+        ty = (t // K) % K
+        tx = t % K
+        sl_g = jax.lax.dynamic_slice(
+            gp, (0, K - 1 - tz, K - 1 - ty, K - 1 - tx, 0),
+            (b, *spatial, co)).reshape(n, co)
+        dx_acc = dx_acc + jax.lax.dot_general(
+            sl_g, kf[t], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sl_x = jax.lax.dynamic_slice(
+            xp, (0, tz, ty, tx, 0), (b, *spatial, ci)).reshape(n, ci)
+        dk_t = jax.lax.dot_general(
+            sl_x, gr, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_acc = jax.lax.dynamic_update_index_in_dim(dk_acc, dk_t, t, 0)
+        return dx_acc, dk_acc
+
+    dx, dk = jax.lax.fori_loop(
+        0, K**3, body,
+        (jnp.zeros((n, ci), jnp.float32),
+         jnp.zeros((K**3, ci, co), jnp.float32)))
 
     dx = dx.reshape(x.shape).astype(x.dtype)
-    dk = jnp.stack(dk).reshape(k.shape).astype(k.dtype)
+    dk = dk.reshape(k.shape).astype(k.dtype)
     return dx, dk
 
 
