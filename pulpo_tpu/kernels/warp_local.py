@@ -420,15 +420,16 @@ def _squaring_step_bwd(vec, g):
     import math
     import os
 
-    # opt-in until validated on real Mosaic (golden-tested in interpret
-    # mode; enable with PULPO_PALLAS_BWD=1 — flips to default-on once a
-    # hardware train-step drive passes)
+    # default-on since the round-3 hardware train-step drive passed
+    # (full-res bench.py train mode: 0.2165 pairs/s vs 0.1648 with the
+    # XLA vjp, finite losses; gradient goldens in tests/test_kernels.py).
+    # Disable with PULPO_NO_PALLAS_BWD=1.
     use_pallas = (
         vec.shape[-1] == 3
         and math.prod(vec.shape[1:-1]) >= MIN_PALLAS_VOXELS
         and jax.default_backend() == "tpu"
         and not os.environ.get("PULPO_NO_PALLAS_WARP")
-        and bool(os.environ.get("PULPO_PALLAS_BWD"))
+        and not os.environ.get("PULPO_NO_PALLAS_BWD")
     )
     if not use_pallas:
         _, vjp = jax.vjp(_squaring_step_xla, vec)
