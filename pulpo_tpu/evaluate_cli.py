@@ -26,6 +26,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--N", type=int, default=10)
     p.add_argument("--data_path", type=str, default=None)
     p.add_argument("--no_visualize", action="store_true", default=False)
+    p.add_argument("--export", type=str, default=None, metavar="PATH",
+                   help="instead of evaluating, export the model's "
+                        "inference programs as a serving artifact "
+                        "(pulpo_tpu/serve.py) to PATH")
+    p.add_argument("--export_batch", type=int, default=1)
     return p
 
 
@@ -46,6 +51,13 @@ def main(args=None):
 
     ev = Evaluate()
     ev.load_model(run_dir)
+    if args.export:
+        from pulpo_tpu.serve import export_model
+
+        export_model(ev.model, ev.variables, args.export,
+                     batch_size=args.export_batch, N=args.N)
+        print(f"exported serving artifact -> {args.export}")
+        return
     perf, unc = ev.run_one_model(
         segs=args.segs, lms=args.lms, mask=args.mask, N=args.N, task=args.task,
         data_path=args.data_path, visualize=not args.no_visualize)
