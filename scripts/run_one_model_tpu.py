@@ -33,8 +33,23 @@ print(f"init {time.perf_counter() - t0:.1f}s", flush=True)
 ev = Evaluate()
 ev.set_model(model, variables, output_dir="/tmp/eval_flagship")
 t0 = time.perf_counter()
-perf, unc = ev.run_one_model(segs=True, lms=True, N=32, task="synthetic",
-                             visualize=True)
+# the relay occasionally drops a compile mid-flight (bench.py retries
+# the same classes of transient transport error); completed compiles
+# stay in /tmp/jax_cache so a retry resumes where it died
+for attempt in range(3):
+    try:
+        perf, unc = ev.run_one_model(segs=True, lms=True, N=32,
+                                     task="synthetic", visualize=True)
+        break
+    except Exception as e:  # noqa: BLE001 - relay errors vary by layer
+        transient = any(s in str(e) for s in (
+            "Connection refused", "Connection Failed", "UNAVAILABLE",
+            "transport", "crashed or restarted", "response body closed"))
+        if not transient or attempt == 2:
+            raise
+        print(f"relay error (attempt {attempt + 1}), retrying in 120s: "
+              f"{str(e)[:200]}", flush=True)
+        time.sleep(120)
 print(f"run_one_model {time.perf_counter() - t0:.1f}s", flush=True)
 print("performance table:")
 print(perf.to_string())
