@@ -81,7 +81,10 @@ def _tapgrad_bwd(res, g):
     for s in spatial:
         n *= s
 
-    kf = k.astype(jnp.float32).reshape(-1, ci, co)  # (K^3, Ci, Co)
+    # operands stay in their native (usually bf16) dtype — the MXU
+    # accumulates in f32 via preferred_element_type; upcasting first
+    # would double the HBM read traffic of every per-tap matmul
+    kf = k.reshape(-1, ci, co)  # (K^3, Ci, Co)
     gr = g.reshape(n, co)
 
     # dL/dx[u] = sum_t g[u + p - t] @ k[t]^T  == conv(g, flip(k)^T):
