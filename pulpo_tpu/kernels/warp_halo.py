@@ -404,6 +404,198 @@ def _warp_halo_dfgrad_pallas(moving: jnp.ndarray, df: jnp.ndarray,
     return jnp.transpose(out, (0, 2, 3, 4, 1))
 
 
+def _warp_halo_mgrad_kernel(df_hbm, g_hbm, out_ref, dbuf, gbuf, sem_d,
+                            sem_g, *, bz: int, by: int, halo: int,
+                            spatial, c: int):
+    """One (b, z-slab) grid step of the warp's moving-cotangent:
+
+      gm[u, ch] = sum_o  W(df at u-o, o) * g[u-o, ch]
+
+    — the transpose of the bounded gather is itself a bounded halo
+    GATHER (the scatter from output voxel v lands only within its own
+    [-H, H+1] support), with the PRIMAL hat weights evaluated at the
+    neighbouring output voxels v = u-o. No hat derivatives, no scatter
+    instruction. Extended (haloed) region: lo = H+1, hi = H per axis;
+    zero-padded g kills out-of-volume contributions exactly (padded df
+    produces garbage weights only where g is zero).
+    """
+    b = pl.program_id(0)
+    zi = pl.program_id(1)
+    yi = pl.program_id(2)
+    S0, S1, S2 = spatial
+    taps = 2 * halo + 2
+    ez = bz + 2 * halo + 1
+    eyp = dbuf.shape[2]  # sublane-rounded y window (by + 2H+1, mult of 8)
+
+    dma_d = pltpu.make_async_copy(
+        df_hbm.at[b, :, pl.ds(zi * bz, ez), pl.ds(yi * by, eyp)], dbuf, sem_d)
+    dma_g = pltpu.make_async_copy(
+        g_hbm.at[b, :, pl.ds(zi * bz, ez), pl.ds(yi * by, eyp)], gbuf, sem_g)
+    dma_d.start()
+    dma_g.start()
+    dma_d.wait()
+    dma_g.wait()
+
+    shape = (bz, by, S2)
+    # interior (output-voxel) global coordinates of this (z, y) block
+    giz = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + zi * bz).astype(
+        jnp.float32)
+    giy = (jax.lax.broadcasted_iota(jnp.int32, shape, 1) + yi * by).astype(
+        jnp.float32)
+    gix = jax.lax.broadcasted_iota(jnp.int32, shape, 2).astype(jnp.float32)
+
+    # Per tap, everything is computed on the SHIFTED window read from
+    # the refs (pl.ds dynamic start in z only; static unaligned y/x
+    # starts are fine — same pattern as the forward/dfgrad kernels).
+    # Real Mosaic has no dynamic_slice on VALUES, so the weights are
+    # recomputed per tap from the shifted df window instead of slicing
+    # precomputed extended-region weight arrays.
+    acc = tuple(jnp.zeros(shape, jnp.float32) for _ in range(c))
+
+    def z_tap(oz, acc):
+        odz = (oz - halo).astype(jnp.float32)
+        sz = 2 * halo + 1 - oz  # buffer start of the shifted window
+        for oy in range(taps):
+            ody = float(oy - halo)
+            sy = 2 * halo + 1 - oy
+            for ox in range(taps):
+                odx = float(ox - halo)
+                sx = 2 * halo + 1 - ox
+                w = None
+                for a, gi, od, s in ((0, giz, odz, S0), (1, giy, ody, S1),
+                                     (2, gix, odx, S2)):
+                    vcoord = gi - od  # global coords of source voxel v'
+                    dfa = dbuf[a, pl.ds(sz, bz), sy:sy + by, sx:sx + S2]
+                    src = jnp.clip((vcoord + dfa) * (s / (s - 1.0)) - 0.5,
+                                   0.0, s - 1.0)
+                    ha = jnp.maximum(0.0, 1.0 - jnp.abs((src - vcoord) - od))
+                    w = ha if w is None else w * ha
+                acc = tuple(
+                    acc[ch] + w * gbuf[ch, pl.ds(sz, bz),
+                                       sy:sy + by, sx:sx + S2]
+                    for ch in range(c))
+        return acc
+
+    acc = jax.lax.fori_loop(0, taps, z_tap, acc)
+    out_ref[0] = jnp.stack(list(acc), axis=0)
+
+
+def _warp_halo_mgrad_pallas(df: jnp.ndarray, g: jnp.ndarray, halo: int,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Moving-cotangent of the halo warp: df (B, *spatial, 3), g
+    (B, *spatial, C) -> gm (B, *spatial, C) in f32. Exact (matches the
+    XLA composition's VJP wrt `moving` up to fp order) iff the halo
+    bound holds for df. Requires matching batches (the sample-tiled
+    b_df != b_mov case would need a cross-sample reduction — not
+    needed by the squaring step, its only caller)."""
+    spatial = df.shape[1:-1]
+    assert len(spatial) == 3 and df.shape[-1] == 3
+    assert g.shape[1:-1] == spatial and g.shape[0] == df.shape[0]
+    b = df.shape[0]
+    c = g.shape[-1]
+    S0, S1, S2 = spatial
+    taps = 2 * halo + 2
+    lo = halo + 1
+
+    dcf = jnp.transpose(df.astype(jnp.float32), (0, 4, 1, 2, 3))
+    gcf = jnp.transpose(g.astype(jnp.float32), (0, 4, 1, 2, 3))
+
+    # Mosaic's scoped-VMEM stack scales with the (bz, by, S2) window of
+    # the (2H+2)^2 unrolled (oy, ox) tap chain (measured: 18.4M at a
+    # 4x48x56 window, taps=6 — over the 16M limit). Block the y axis so
+    # the window stays small: by must divide S1 and, when blocking, be
+    # a multiple of 8 (sublane-aligned DMA starts). bz = 1.
+    bz = 1
+    if S1 <= 32:
+        by = S1
+    else:
+        cands = [d for d in range(8, S1 + 1, 8)
+                 if S1 % d == 0 and d * S2 <= 4096]
+        by = max(cands) if cands else S1
+    ny = S1 // by
+    ez = bz + 2 * halo + 1
+    eyp = _round_up(by + 2 * halo + 1, 8)
+    s1p = (ny - 1) * by + eyp
+    s2p = _round_up(S2 + 2 * halo + 1, 128)
+    dp = jnp.pad(dcf, ((0, 0), (0, 0), (lo, halo),
+                       (lo, s1p - S1 - lo), (lo, s2p - S2 - lo)))
+    gp = jnp.pad(gcf, ((0, 0), (0, 0), (lo, halo),
+                       (lo, s1p - S1 - lo), (lo, s2p - S2 - lo)))
+
+    kern = functools.partial(_warp_halo_mgrad_kernel, bz=bz, by=by,
+                             halo=halo, spatial=spatial, c=c)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, S0 // bz, ny),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, c, bz, by, S2), lambda bi, zi, yi: (bi, 0, zi, yi, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, S0, S1, S2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, ez, eyp, s2p), jnp.float32),
+            pltpu.VMEM((c, ez, eyp, s2p), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(dp, gp)
+    return jnp.transpose(out, (0, 2, 3, 4, 1))
+
+
+def _mgrad_repaired(moving, df, g, bad, halo, k, interpret=False):
+    """mgrad stencil + exact repair: contributions FROM the (<= k)
+    out-of-bound output voxels are excluded by zeroing their cotangent
+    rows before the stencil, then added back exactly via jax.vjp of
+    `_exact_warp_rows` wrt moving."""
+    g_clean = g * (1.0 - bad[..., None].astype(g.dtype))
+    out = _warp_halo_mgrad_pallas(df, g_clean, halo, interpret)
+    idx = _repair_indices(bad.reshape(-1), k)
+    df_rows = df.reshape(-1, df.shape[-1])[idx]
+    g_rows = g.astype(jnp.float32).reshape(-1, g.shape[-1])[idx]
+    _, vjp = jax.vjp(
+        lambda m: _exact_warp_rows(m, idx, df_rows), moving)
+    return out + vjp(g_rows)[0].astype(jnp.float32)
+
+
+def _mgrad_cascaded(moving, df, g, halos, interpret=False):
+    """Moving-cotangent via the same guard cascade as the forward /
+    dfgrad: Pallas mgrad kernel at the smallest tier whose bound holds,
+    sparse-repaired within the budget, the XLA composition's VJP
+    beyond. Requires df batch == moving batch (see mgrad_pallas)."""
+    from pulpo_tpu.ops.warp import warp_image
+
+    def xla_mgrad(m, d, gg):
+        _, vjp = jax.vjp(warp_image, m, d)
+        return vjp(gg)[0].astype(jnp.float32)
+
+    if not halos:
+        return xla_mgrad(moving, df, g)
+    h, rest = halos[0], halos[1:]
+    if not rest:
+        ks = repair_budgets(df)
+        bad = halo_bad_mask(df, h)
+        n_bad = jnp.sum(bad)
+        branch = jnp.int32(0)
+        for k in reversed(ks):
+            branch = jnp.where(n_bad <= k, branch, branch + 1)
+        branch = jnp.where(n_bad == 0, 0, branch + 1)
+        fns = [lambda m, d, gg, _b: _warp_halo_mgrad_pallas(d, gg, h,
+                                                            interpret)]
+        fns += [functools.partial(
+            lambda m, d, gg, b, _k: _mgrad_repaired(m, d, gg, b, h, _k,
+                                                    interpret),
+            _k=k) for k in ks]
+        fns.append(lambda m, d, gg, _b: xla_mgrad(m, d, gg))
+        return jax.lax.switch(branch, fns, moving, df, g, bad)
+    return jax.lax.cond(
+        halo_bound_ok(df, h),
+        lambda m, d, gg: _warp_halo_mgrad_pallas(d, gg, h, interpret),
+        lambda m, d, gg: _mgrad_cascaded(m, d, gg, rest, interpret),
+        moving, df, g)
+
+
 def halo_bound_ok(df: jnp.ndarray, halo: int) -> jnp.ndarray:
     """Scalar bool: every per-axis source offset |clip(src) - g| fits
     the stencil (taps -H..H+1 cover rel in [-H, H+1])."""

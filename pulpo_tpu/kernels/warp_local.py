@@ -441,12 +441,34 @@ def _squaring_step_bwd(vec, g):
     def pallas_bwd(args):
         return _squaring_step_bwd_pallas(*args)
 
+    def tiered_bwd(args):
+        # past the sub-voxel bound: compose the backward from the halo
+        # cascades (round-3 train bisect: the XLA gather+scatter vjp of
+        # the late squaring steps was 1.92 s of a 4.65 s full-res train
+        # step). d(v + warp(v, v))^T g = g (identity) + df-cotangent +
+        # moving-cotangent, each tier-guarded with sparse repair and an
+        # exact XLA fallback.
+        v, gg = args
+        from pulpo_tpu.kernels.warp_halo import (
+            _dfgrad_cascaded,
+            _mgrad_cascaded,
+        )
+
+        halos = SQUARING_HALOS()
+        out = (gg.astype(jnp.float32)
+               + _dfgrad_cascaded(v, v, gg, halos)
+               + _mgrad_cascaded(v, v, gg, halos))
+        return out.astype(gg.dtype)
+
     def xla_bwd(args):
         v, gg = args
         _, vjp = jax.vjp(_squaring_step_xla, v)
         return vjp(gg)[0]
 
-    return (jax.lax.cond(safe, pallas_bwd, xla_bwd, (vec, g)),)
+    tiers_ok = all(
+        s >= 2 * max(SQUARING_HALOS()) + 2 for s in vec.shape[1:-1])
+    beyond = tiered_bwd if tiers_ok else xla_bwd
+    return (jax.lax.cond(safe, pallas_bwd, beyond, (vec, g)),)
 
 
 squaring_step.defvjp(_squaring_step_fwd, _squaring_step_bwd)
