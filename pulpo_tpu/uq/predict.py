@@ -254,9 +254,14 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
     def body(carry, ks):
         stats_c, first_c, n_c = carry
         s, out, ret = chunk_stats(ks)
-        # retain the FIRST chunk's per-sample outputs (figure grids)
-        first = jax.tree.map(
-            lambda slot, o: jnp.where(n_c == 0, o, slot), first_c, out)
+        # retain the FIRST chunk's per-sample outputs (figure grids).
+        # lax.cond instead of jnp.where: the false branch is the carry
+        # identity, which XLA aliases in place — a per-chunk jnp.where
+        # re-read and re-wrote the full (chunk, B, *out) slot tree every
+        # iteration (~3 GB of HBM traffic per chunk at the flagship
+        # config, PERF.md).
+        first = jax.lax.cond(
+            n_c == 0, lambda o, _: o, lambda _, slot: slot, out, first_c)
         return (merge_stats(stats_c, s, n_c), first, n_c + chunk), ret
 
     # lax.scan serializes chunks (bounds live memory); the sample count
