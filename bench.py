@@ -196,9 +196,11 @@ def _main_inner():
         input_size = _PROXY_SIZES[proxy]
 
     mode = os.environ.get("PULPO_BENCH_MODE", "uq")
-    # B=2 measured 10.66 pairs/s vs 5.45 at B=1 (PERF.md): the small-C
-    # convs gain real MXU utilization from batched pairs
-    batch = int(os.environ.get("PULPO_BENCH_BATCH", "2"))
+    # B=4 with 2-sample chunks (same 8 decode rows per scan step as
+    # B=2 x chunk 4) measured 0.3694 pairs/s vs 0.3323 — the encode,
+    # mean-SVF tail and per-call relay dispatch amortize over twice the
+    # pairs (PERF.md round-3 table)
+    batch = int(os.environ.get("PULPO_BENCH_BATCH", "4"))
     iters = int(os.environ.get("PULPO_BENCH_ITERS", "5"))
 
     res_tag = f"{proxy}res" if proxy else ("small" if small else "fullres")
