@@ -46,7 +46,19 @@ class _RawConv(nn.Module):
     into the batch axis), its half is convolved ONCE per pair and
     broadcast across the S samples — the per-pair dedupe of the
     feedback-merge activation half (reference pulpo.py:235-240 pays it
-    per sample)."""
+    per sample).
+
+    Scan-hoisting of the per-pair half (uq/predict streams sample
+    chunks through a lax.scan, which would otherwise re-convolve the
+    pair-constant half every chunk):
+
+    - ``act_half=True``: ``x`` is the x2 operand; returns the raw
+      ``conv_b(x)`` (no bias). ``x2_features`` must give the width of
+      the ABSENT first half so the kernel parameter keeps its full
+      concat shape.
+    - ``y2=<precomputed>``: skips ``conv_b`` and adds the hoisted
+      result instead — bit-identical to the unhoisted split call.
+    """
 
     features: int
     kernel_size: int = 3
@@ -93,10 +105,15 @@ class _RawConv(nn.Module):
             dimension_numbers=dn)
 
     @nn.compact
-    def __call__(self, x, x2=None):
+    def __call__(self, x, x2=None, y2=None, x2_features: int = 0,
+                 act_half: bool = False):
         ndims = x.ndim - 2
-        c1 = x.shape[-1]
-        c2 = 0 if x2 is None else x2.shape[-1]
+        if act_half:
+            c1, c2 = x2_features, x.shape[-1]
+        else:
+            c1 = x.shape[-1]
+            c2 = x2_features if y2 is not None else (
+                0 if x2 is None else x2.shape[-1])
         c_in = c1 + c2
         kshape = (self.kernel_size,) * ndims + (c_in, self.features)
         fan_in = c_in * self.kernel_size**ndims
@@ -104,12 +121,16 @@ class _RawConv(nn.Module):
         bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
         dtype = self.dtype or jnp.result_type(x.dtype, kernel.dtype)
         x, kernel, bias = (a.astype(dtype) for a in (x, kernel, bias))
-        y = self._conv(x, kernel if x2 is None else kernel[..., :c1, :])
-        if x2 is not None:
+        if act_half:
+            return self._conv(x, kernel[..., c1:, :])
+        y = self._conv(x, kernel if c2 == 0 else kernel[..., :c1, :])
+        if y2 is None and x2 is not None:
             y2 = self._conv(x2.astype(dtype), kernel[..., c1:, :])
-            if x2.shape[0] != x.shape[0]:
-                s = x.shape[0] // x2.shape[0]
-                assert s * x2.shape[0] == x.shape[0], (x.shape, x2.shape)
+        if y2 is not None:
+            y2 = y2.astype(dtype)
+            if y2.shape[0] != x.shape[0]:
+                s = x.shape[0] // y2.shape[0]
+                assert s * y2.shape[0] == x.shape[0], (x.shape, y2.shape)
                 y2 = jnp.broadcast_to(y2[None], (s, *y2.shape)).reshape(
                     s * y2.shape[0], *y2.shape[1:])
             y = y + y2
@@ -126,13 +147,14 @@ class TorchConv(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, x2=None):
+    def __call__(self, x, x2=None, y2=None, x2_features: int = 0,
+                 act_half: bool = False):
         # child named Conv_0 so the param tree matches the previous
         # nn.Conv-based implementation (checkpoints, torch importer)
         return _RawConv(
             self.features, self.kernel_size, self.padding, self.dtype,
             name="Conv_0",
-        )(x, x2)
+        )(x, x2, y2=y2, x2_features=x2_features, act_half=act_half)
 
 
 class ConvUnit(nn.Module):
@@ -144,8 +166,14 @@ class ConvUnit(nn.Module):
     bn_axis_name: str | None = None  # set to sync batch stats across DP replicas
 
     @nn.compact
-    def __call__(self, x, train: bool = True, x2=None):
-        x = TorchConv(self.features, 3, "SAME", dtype=self.dtype)(x, x2)
+    def __call__(self, x, train: bool = True, x2=None, y2=None,
+                 x2_features: int = 0, act_half: bool = False):
+        x = TorchConv(self.features, 3, "SAME", dtype=self.dtype)(
+            x, x2, y2=y2, x2_features=x2_features, act_half=act_half)
+        if act_half:
+            # raw per-pair conv half for scan hoisting — BN/activation
+            # apply only to the completed sum in the main path
+            return x
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,  # torch momentum=0.1 -> running = 0.9*run + 0.1*batch
@@ -166,12 +194,19 @@ class ConvSequence(nn.Module):
     bn_axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True, x2=None):
+    def __call__(self, x, train: bool = True, x2=None, y2=None,
+                 x2_features: int = 0, act_half: bool = False):
         """`x2` feeds the FIRST ConvUnit's split application: equivalent
-        to calling the sequence on concat([x, x2], -1)."""
+        to calling the sequence on concat([x, x2], -1). `y2`/`act_half`
+        hoist that unit's per-pair conv half (see _RawConv)."""
+        if act_half:
+            return ConvUnit(self.features, self.dtype, self.bn_axis_name)(
+                x, train, x2_features=x2_features, act_half=True)
         for i in range(self.depth):
             x = ConvUnit(self.features, self.dtype, self.bn_axis_name)(
-                x, train, x2 if i == 0 else None)
+                x, train, x2 if i == 0 else None,
+                y2=y2 if i == 0 else None,
+                x2_features=x2_features if i == 0 else 0)
         return x
 
 

@@ -75,9 +75,19 @@ class PULPoEncoder(nn.Module):
     bn_axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, down_activation, feedback=None, train: bool = True):
+    def __call__(self, down_activation, feedback=None, train: bool = True,
+                 y2=None, act_half: bool = False):
         cfg = self.cfg
         num_channels = cfg.num_channels[cfg.lk_offset + self.level]
+        if act_half:
+            # per-pair half of the merge conv (scan hoisting): the
+            # feedback operand is absent, so its width (the up_block
+            # output, n0*zdim) sizes the kernel's missing first half
+            return ConvSequence(
+                num_channels, depth=2, dtype=self.dtype,
+                bn_axis_name=self.bn_axis_name, name="sample_merge_block",
+            )(down_activation, train, x2_features=cfg.n0 * cfg.zdim,
+              act_half=True)
         h = down_activation
         if feedback is not None:
             # split application == ConvSequence(concat([feedback, act]))
@@ -85,11 +95,13 @@ class PULPoEncoder(nn.Module):
             # 5*n0-channel concat (the dominant HBM temp, PERF.md); when
             # feedback carries folded samples (S*B) and the activation is
             # per-pair (B), the activation half is convolved once per
-            # pair (blocks._RawConv)
+            # pair (blocks._RawConv) — or hoisted out of the sample scan
+            # entirely when the caller passes the precomputed ``y2``
             h = ConvSequence(
                 num_channels, depth=2, dtype=self.dtype,
                 bn_axis_name=self.bn_axis_name, name="sample_merge_block",
-            )(feedback, train, x2=down_activation)
+            )(feedback, train, x2=None if y2 is not None else down_activation,
+              y2=y2, x2_features=down_activation.shape[-1])
         mu, sigma = MuSigmaBlock(cfg.zdim, dtype=self.dtype, name="mu_sigma")(h)
         return mu, sigma
 
@@ -192,6 +204,7 @@ class Autoencoder(nn.Module):
         train: bool = True,
         n_samples: int = 1,
         sample_keys: jnp.ndarray | None = None,
+        pair_pre: dict | None = None,
     ) -> tuple[LevelDict, ...]:
         """With ``n_samples=S > 1``, S posterior draws are decoded with
         the samples FOLDED INTO THE BATCH AXIS ((S, B) flattened to S*B,
@@ -209,6 +222,11 @@ class Autoencoder(nn.Module):
         depend only on (key, level), so results are invariant to how
         callers chunk S — required by the streaming UQ engine. Mandatory
         when S > 1 and not deterministic.
+
+        ``pair_pre`` (from :meth:`precompute_pair`): the pair-constant
+        tensors — the coarsest-level posterior moments and every merge
+        conv's activation half — precomputed ONCE outside a sample-chunk
+        scan instead of once per chunk. Bit-identical results.
         """
         cfg = self.cfg
         S = n_samples
@@ -257,8 +275,12 @@ class Autoencoder(nn.Module):
             if l == cfg.latent_levels - 1:
                 # coarsest level: the posterior head sees only the (per-
                 # pair) down activation — compute it once and broadcast
-                mu_pp, sigma_pp = self.encoders[str(l)](
-                    down_activations[k], None, train)
+                # (or take it precomputed from outside the chunk scan)
+                if pair_pre is not None:
+                    mu_pp, sigma_pp = pair_pre["coarse"]
+                else:
+                    mu_pp, sigma_pp = self.encoders[str(l)](
+                        down_activations[k], None, train)
                 mus[l], sigmas[l] = tile(mu_pp), tile(sigma_pp)
                 parent_combined = None
             else:
@@ -286,7 +308,8 @@ class Autoencoder(nn.Module):
                 fb = resized[0] if len(resized) == 1 else jnp.concatenate(resized, axis=-1)
                 fb = self.up_blocks[str(l)](fb, train=train)
                 mus[l], sigmas[l] = self.encoders[str(l)](
-                    down_activations[k], fb, train
+                    down_activations[k], fb, train,
+                    y2=None if pair_pre is None else pair_pre["merge_y2"][l],
                 )
                 parent_combined = combined_dfs[l + 1]
 
@@ -310,6 +333,30 @@ class Autoencoder(nn.Module):
             mus, sigmas, samples, velocity_fields,
             individual_dfs, combined_dfs, final_dfs, transformed,
         )
+
+    def precompute_pair(self, down_activations: LevelDict,
+                        train: bool = False) -> dict:
+        """Pair-constant decode tensors, for hoisting out of a sample-
+        chunk scan: the coarsest-level posterior moments and the
+        per-pair activation half of every feedback-merge conv. Feed the
+        result to ``__call__(..., pair_pre=...)``. Bit-exact
+        (tests/test_model.py), but measured SLOWER at the flagship
+        UQ config (0.3298 vs 0.3694 pairs/s — the hoisted tensors are
+        scan constants re-read from HBM each chunk, PERF.md), so
+        uq/predict does not use it; available for memory- or
+        FLOP-bound callers."""
+        cfg = self.cfg
+        top = cfg.latent_levels - 1
+        return {
+            "coarse": self.encoders[str(top)](
+                down_activations[top + cfg.lk_offset], None, train),
+            "merge_y2": {
+                l: self.encoders[str(l)](
+                    down_activations[l + cfg.lk_offset], train=train,
+                    act_half=True)
+                for l in range(top)
+            },
+        }
 
 
 def prior_like(posterior_mus: LevelDict, posterior_sigmas: LevelDict):
@@ -340,9 +387,17 @@ class PULPoModule(nn.Module):
         return self.downpath(x, y, train=train)
 
     def decode(self, x, down_activations, deterministic=False,
-               train: bool = False, n_samples: int = 1, sample_keys=None):
+               train: bool = False, n_samples: int = 1, sample_keys=None,
+               pair_pre: dict | None = None):
         """Decode (optionally S posterior samples folded into the batch
         axis, see Autoencoder.__call__). Output leaves are (S*B, ...),
         sample-major — reshape(S, B, ...) recovers the sample axis."""
         return self.autoencoder(x, down_activations, deterministic, train,
-                                n_samples=n_samples, sample_keys=sample_keys)
+                                n_samples=n_samples, sample_keys=sample_keys,
+                                pair_pre=pair_pre)
+
+    def precompute_pair(self, down_activations, train: bool = False):
+        """Pair-constant decode tensors (see Autoencoder.precompute_pair);
+        pass to :meth:`decode` as ``pair_pre`` to hoist them out of a
+        sample-chunk scan."""
+        return self.autoencoder.precompute_pair(down_activations, train=train)
