@@ -132,7 +132,16 @@ def bench_uq(input_size, batch: int, chunk: int | None, iters: int):
     def run(v, xx, yy, base, i):
         key = jax.random.fold_in(base, i)
         res = _uq_impl(model, v, xx, yy, N_SAMPLES, key, None, chunk)
-        return res.output_std[0].mean().astype(jnp.float32)
+        # the fetched scalar must depend on EVERY UQResult leaf: XLA
+        # dead-code-eliminates whatever the fetch doesn't reach (the
+        # mean-SVF re-warp, levels>0 std maps, entropy, mse, the
+        # first-chunk sample grid) — fetching only output_std[0] would
+        # time a smaller program than the workload the metric claims
+        # (the reference's full predict, evaluate.py:205-280).
+        tot = jnp.float32(0.0)
+        for leaf in jax.tree.leaves(res):
+            tot = tot + leaf.astype(jnp.float32).mean()
+        return tot
 
     base = jax.random.key(2)
     t0 = time.perf_counter()
@@ -200,7 +209,10 @@ def _main_inner():
     # B=2 x chunk 4) measured 0.3694 pairs/s vs 0.3323 — the encode,
     # mean-SVF tail and per-call relay dispatch amortize over twice the
     # pairs (PERF.md round-3 table)
-    batch = int(os.environ.get("PULPO_BENCH_BATCH", "4"))
+    # per-mode defaults: UQ amortizes fixed costs at B=4; full-res
+    # TRAINING OOMs past B=1 (PERF.md batch-scaling note)
+    batch = int(os.environ.get("PULPO_BENCH_BATCH",
+                               "1" if mode == "train" else "4"))
     iters = int(os.environ.get("PULPO_BENCH_ITERS", "5"))
 
     res_tag = f"{proxy}res" if proxy else ("small" if small else "fullres")

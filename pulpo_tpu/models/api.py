@@ -21,6 +21,7 @@ from pulpo_tpu.config import PULPoConfig
 from pulpo_tpu.models.pulpo import PULPoModule, prior_like
 from pulpo_tpu.ops.resize import avg_pool_ceil
 from pulpo_tpu.ops.warp import (
+    batched_level_warp,
     integrate_svf_auto,
     resize_vecfield,
     warp_image,
@@ -28,6 +29,15 @@ from pulpo_tpu.ops.warp import (
 )
 
 LevelDict = dict[int, jnp.ndarray]
+
+
+def _warp_levels(moving: jnp.ndarray, dfs: LevelDict) -> LevelDict:
+    """Per-level warps of one moving image, batched into a single
+    kernel call when every level's df shares the output shape
+    (full_res df_resolution; see ops/warp.batched_level_warp)."""
+    if len({dfs[l].shape for l in dfs}) == 1:
+        return batched_level_warp(moving, dfs)
+    return {l: warp_image_auto(moving, dfs[l]) for l in dfs}
 
 
 def combine_dfs(
@@ -81,6 +91,8 @@ def transform_segmentation(cfg: PULPoConfig, dfs: LevelDict, seg: jnp.ndarray) -
             prev = avg_pool_ceil(prev)
             level_seg[l] = prev
         level_seg[0] = seg
+    if cfg.df_resolution == "full_res":
+        return _warp_levels(seg, dfs)
     return {l: warp_image_auto(level_seg[l], dfs[l]) for l in dfs}
 
 
@@ -189,7 +201,7 @@ class PULPoModel:
         _, individual_dfs = self._predict_output_samples_impl(variables, x, y, N, rng)
         avg_dfs = {k: v.mean(axis=1) for k, v in individual_dfs.items()}
         _, avg_final = combine_dfs(self.cfg, avg_dfs)
-        avg_outputs = {l: warp_image_auto(x, avg_final[l]) for l in avg_final}
+        avg_outputs = _warp_levels(x, avg_final)
         return avg_outputs, avg_dfs
 
     @functools.cached_property

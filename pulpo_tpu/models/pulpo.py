@@ -32,6 +32,7 @@ from pulpo_tpu.config import PULPoConfig
 from pulpo_tpu.models.blocks import ConvSequence, MuSigmaBlock, VelocityField
 from pulpo_tpu.ops.resize import avg_pool_ceil, resize_linear
 from pulpo_tpu.ops.warp import (
+    batched_level_warp,
     integrate_svf_auto,
     resize_vecfield,
     warp_image,
@@ -115,7 +116,13 @@ class SVFDecoder(nn.Module):
     bn_axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, z, input_image, combined_df=None, train: bool = True):
+    def __call__(self, z, input_image, combined_df=None, train: bool = True,
+                 do_warp: bool = True):
+        """``do_warp=False`` skips the final image warp (returns None in
+        its slot): at full_res df_resolution every level warps the SAME
+        full-res moving image, so the Autoencoder batches all K levels'
+        warps into ONE Pallas cascade call after the level loop (K x the
+        rows per kernel launch, one tier branch instead of K)."""
         cfg = self.cfg
         l = self.level
         insize = cfg.level_sizes[l]
@@ -143,6 +150,8 @@ class SVFDecoder(nn.Module):
         vel_resize_output = 1.0 / (outsize[0] / insize[0])
         final_df = resize_vecfield(integrated, vel_resize_output, out_size=outsize)
 
+        if not do_warp:
+            return individual_df, individual_df, combined, final_df, None
         # same-res (level-0 full_res) warps route to the Pallas halo
         # stencil; cross-res level_res warps use the XLA gather
         transformed = warp_image_auto(input_image.astype(jnp.float32), final_df)
@@ -158,9 +167,10 @@ class Autoencoder(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        # (self, down_act, feedback, train) / (self, z, img, combined, train)
+        # (self, down_act, feedback, train) /
+        # (self, z, img, combined, train, do_warp)
         enc_cls = nn.remat(PULPoEncoder, static_argnums=(3,)) if cfg.remat else PULPoEncoder
-        dec_cls = nn.remat(SVFDecoder, static_argnums=(4,)) if cfg.remat else SVFDecoder
+        dec_cls = nn.remat(SVFDecoder, static_argnums=(4, 5)) if cfg.remat else SVFDecoder
         self.encoders = {
             str(l): enc_cls(cfg, l, self.dtype, self.bn_axis_name, name=f"encoder_{l}")
             for l in range(cfg.latent_levels)
@@ -232,6 +242,13 @@ class Autoencoder(nn.Module):
         S = n_samples
         B = x.shape[0]
         level_x = self._level_x_pyramid(x)
+        # at full_res every level warps the SAME full-res moving image
+        # with a same-shaped full-res df: batch all K warps into one
+        # kernel call after the level loop (see batched_level_warp) —
+        # unless finer levels consume `transformed` as feedback DURING
+        # the loop, which forces the per-level warp order
+        batch_warp = (cfg.df_resolution == "full_res"
+                      and "transformed" not in cfg.feedback)
 
         def tile(v):
             """(B, ...) per-pair -> (S*B, ...) sample-major broadcast."""
@@ -327,7 +344,11 @@ class Autoencoder(nn.Module):
                 combined_dfs[l],
                 final_dfs[l],
                 transformed[l],
-            ) = self.decoders[str(l)](z, level_x[l], parent_combined, train)
+            ) = self.decoders[str(l)](z, level_x[l], parent_combined, train,
+                                      not batch_warp)
+
+        if batch_warp:
+            transformed.update(batched_level_warp(x, final_dfs))
 
         return (
             mus, sigmas, samples, velocity_fields,

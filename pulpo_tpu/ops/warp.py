@@ -171,6 +171,28 @@ def warp_image_auto(moving: jnp.ndarray, df: jnp.ndarray) -> jnp.ndarray:
     return warp_image(moving, df)
 
 
+def batched_level_warp(moving: jnp.ndarray,
+                       dfs: dict[int, jnp.ndarray]) -> dict[int, jnp.ndarray]:
+    """Warp ONE moving image by every level's (same-shaped) df in a
+    single call: the per-level dfs are stacked along the batch axis and
+    fed to `warp_image_auto` as one sample-tiled warp (df batch = L x
+    df-rows, moving batch unchanged; row r reads moving row r % B).
+
+    At full_res df_resolution all K levels of the decode — and the
+    mean-SVF tail — warp the same full-res image, so this turns K
+    Pallas cascade launches (K tier branches, K fixed slab-DMA setups)
+    into one. Exact: warping is independent per row, and every row's
+    moving-image mapping is unchanged (tests/test_model.py).
+    """
+    levels = sorted(dfs)
+    shapes = {dfs[l].shape for l in levels}
+    assert len(shapes) == 1, f"batched_level_warp needs equal shapes, got {shapes}"
+    stacked = jnp.concatenate([dfs[l] for l in levels], axis=0)
+    warped = warp_image_auto(moving.astype(jnp.float32), stacked)
+    per = dfs[levels[0]].shape[0]
+    return {l: warped[i * per:(i + 1) * per] for i, l in enumerate(levels)}
+
+
 def integrate_svf(vec: jnp.ndarray, nsteps: int = 7) -> jnp.ndarray:
     """Scaling-and-squaring integration of a stationary velocity field.
 

@@ -48,9 +48,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from pulpo_tpu.models.api import PULPoModel, combine_dfs
+from pulpo_tpu.models.api import PULPoModel, _warp_levels, combine_dfs
 from pulpo_tpu.models.pulpo import PULPoModule
-from pulpo_tpu.ops.warp import warp_image, warp_image_auto, warp_landmarks
+from pulpo_tpu.ops.warp import warp_landmarks
 
 LevelDict = dict[int, jnp.ndarray]
 
@@ -275,7 +275,9 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
     # mean-SVF combine + integrate + re-warp (streamed mean == avg df)
     avg_dfs = {l: m[0] for l, m in stats["ind"].items()}
     _, mean_final = combine_dfs(cfg, avg_dfs)
-    mean_outputs = {l: warp_image_auto(x, mean_final[l]) for l in mean_final}
+    # full_res: all levels' final dfs share the output shape — one
+    # batched warp call for all K levels (ops/warp.batched_level_warp)
+    mean_outputs = _warp_levels(x, mean_final)
 
     output_std = {l: _finalize_std(m, N) for l, m in stats["out"].items()}
     output_entropy = {l: _finalize_entropy(m, N) for l, m in stats["out"].items()}
@@ -283,9 +285,9 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
     final_df_std = {l: _finalize_std(m, N) for l, m in stats["fin"].items()}
     if mask is not None:
         # mask constant across samples: std(mask*v) == mask*std(v)
+        wms = _warp_levels(mask, mean_final)
         for l in final_df_std:
-            wm = warp_image_auto(mask, mean_final[l])[..., 0]
-            final_df_std[l] = final_df_std[l] * jnp.abs(wm)
+            final_df_std[l] = final_df_std[l] * jnp.abs(wms[l][..., 0])
 
     output_mse = {l: stats["mse"][l] / N for l in stats["mse"]}
 

@@ -69,3 +69,38 @@ def test_rawconv_pad128_branch_matches_unpadded():
     b = v["params"]["bias"]
     ref = _conv_xla(x, k) + b
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_im2col_matches_xla_conv_and_vjp():
+    """conv3d_im2col: forward (27-view concat + one matmul) must match
+    the XLA conv up to f32 accumulation order; its VJP is defined AS the
+    XLA conv vjp and must match it exactly."""
+    from pulpo_tpu.ops.conv import conv3d_im2col
+
+    k1, k2, k3 = jax.random.split(jax.random.key(7), 3)
+    x = jax.random.normal(k1, (2, 6, 7, 8, 3), jnp.float32)
+    k = jax.random.normal(k2, (3, 3, 3, 3, 5), jnp.float32) * 0.2
+    g = jax.random.normal(k3, (2, 6, 7, 8, 5), jnp.float32)
+
+    out_ref, vjp_ref = jax.vjp(_conv_xla, x, k)
+    out_im, vjp_im = jax.vjp(conv3d_im2col, x, k)
+    np.testing.assert_allclose(out_im, out_ref, rtol=0, atol=1e-5)
+    for a, b in zip(vjp_im(g), vjp_ref(g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_im2col_bf16_accumulates_f32():
+    """bf16 operands must accumulate in f32 (preferred_element_type),
+    matching the conv path's precision class: summing 27*cin bf16
+    products of ~1-magnitude values in bf16 would lose ~2 decimal
+    digits; against an f32 reference the error must stay at bf16
+    rounding scale."""
+    from pulpo_tpu.ops.conv import conv3d_im2col
+
+    k1, k2 = jax.random.split(jax.random.key(8))
+    x = jax.random.normal(k1, (1, 5, 6, 7, 4), jnp.float32)
+    k = jax.random.normal(k2, (3, 3, 3, 4, 4), jnp.float32) * 0.2
+    ref = _conv_xla(x, k)
+    out = conv3d_im2col(x.astype(jnp.bfloat16), k.astype(jnp.bfloat16))
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+    assert err.max() < 0.15 * np.abs(np.asarray(ref)).max()

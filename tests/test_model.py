@@ -126,6 +126,27 @@ def test_2d_model():
     assert out.shape == (2, 24, 28, 1)
 
 
+def test_fullres_batched_level_warp_matches_per_level():
+    """At full_res df_resolution the Autoencoder batches all K levels'
+    image warps into ONE call (ops/warp.batched_level_warp). Each
+    level's row must equal the plain per-level warp_image result."""
+    from pulpo_tpu.ops.warp import warp_image
+
+    # feedback without `transformed` so the warps are deferrable
+    cfg = tiny_cfg(df_resolution="full_res",
+                   feedback=("samples", "velocity_fields", "combined_dfs"))
+    model = PULPoModel(cfg)
+    variables = model.init(jax.random.key(0))
+    x, y = _pair(cfg)
+    outs = model.apply_eval(variables, x, y, rng=jax.random.key(3))
+    final, transformed = outs[6], outs[7]
+    for l in range(cfg.latent_levels):
+        assert transformed[l].shape == (1, *cfg.input_size, 1)
+        ref = warp_image(x.astype(jnp.float32), final[l])
+        np.testing.assert_array_equal(
+            np.asarray(transformed[l]), np.asarray(ref))
+
+
 def test_pair_precompute_hoisting_bit_exact(model_and_vars):
     """decode(pair_pre=precompute_pair(...)) must be bit-identical to the
     unhoisted decode: the hoisted tensors (coarsest posterior moments,
