@@ -49,15 +49,12 @@ UNROLL_TAPS_MAX = 12
 
 # above this tap count, per-axis hat weights are recomputed inline per
 # (oy, ox) instead of precomputed as 2*taps live VMEM arrays (the lists
-# dominate Mosaic's scoped-stack high-water mark for long chains).
-# Env-tunable: lowering it shrinks the live set, which lets bigger
-# z-slabs (PULPO_WARP_BZ) through Mosaic's 16M scoped-VMEM limit.
-INLINE_W_TAPS = int(os.environ.get("PULPO_WARP_INLINE_W", "8"))
+# dominate Mosaic's scoped-stack high-water mark for long chains)
+INLINE_W_TAPS = 8
 
 
 def _warp_halo_kernel(mov_hbm, df_hbm, out_ref, mbuf, dbuf, sem_m, sem_d, *,
-                      bz: int, halo: int, spatial, c: int, b_mov: int,
-                      n_steps: int):
+                      bz: int, halo: int, spatial, c: int, b_mov: int):
     """One (b_df, z-slab) grid step: out = trilinear(moving, grid + df).
 
     mov_hbm: (B, C, S0 + 2H + 1, s1p, s2p) zero-padded, tile-aligned
@@ -66,50 +63,21 @@ def _warp_halo_kernel(mov_hbm, df_hbm, out_ref, mbuf, dbuf, sem_m, sem_d, *,
     hat weight max(0, 1 - |rel - o|) is nonzero for exactly the two
     integer corners of each voxel, so zero padding is exact (clamped
     coordinates keep all nonzero-weight taps inside the volume).
-
-    DMA pipelining: full-res shapes force bz=1 (Mosaic scoped-VMEM), so
-    the grid runs O(1000) steps whose slab DMAs dominate wall time when
-    issued serially. The slab buffers are double-buffered (leading
-    2-slot dim): each step starts the NEXT step's copies before waiting
-    on its own, hiding the DMA latency behind the tap compute.
     """
     b = pl.program_id(0)
     zi = pl.program_id(1)
-    n_z = pl.num_programs(1)
     S0, S1, S2 = spatial
     taps = 2 * halo + 2
 
-    def dmas(slot, bb, zz):
-        return (
-            pltpu.make_async_copy(
-                mov_hbm.at[jax.lax.rem(bb, b_mov), :,
-                           pl.ds(zz * bz, bz + taps - 1)],
-                mbuf.at[slot], sem_m.at[slot]),
-            pltpu.make_async_copy(
-                df_hbm.at[bb, :, pl.ds(zz * bz, bz)],
-                dbuf.at[slot], sem_d.at[slot]),
-        )
-
-    step = b * n_z + zi
-    slot = jax.lax.rem(step, 2)
-
-    @pl.when(step == 0)
-    def _():
-        for d in dmas(0, b, zi):
-            d.start()
-
-    nxt = step + 1
-
-    @pl.when(nxt < n_steps)
-    def _():
-        for d in dmas(jax.lax.rem(nxt, 2),
-                      jax.lax.div(nxt, n_z), jax.lax.rem(nxt, n_z)):
-            d.start()
-
-    for d in dmas(slot, b, zi):
-        d.wait()
-    mbuf = mbuf.at[slot]
-    dbuf = dbuf.at[slot]
+    dma_m = pltpu.make_async_copy(
+        mov_hbm.at[jax.lax.rem(b, b_mov), :, pl.ds(zi * bz, bz + taps - 1)],
+        mbuf, sem_m)
+    dma_d = pltpu.make_async_copy(
+        df_hbm.at[b, :, pl.ds(zi * bz, bz)], dbuf, sem_d)
+    dma_m.start()
+    dma_d.start()
+    dma_m.wait()
+    dma_d.wait()
 
     shape = (bz, S1, S2)
     gz = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + zi * bz).astype(
@@ -230,22 +198,19 @@ def _warp_halo_pallas(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
         n_w = 4 if taps > INLINE_W_TAPS else 2 * taps
         target = 8
         while target > 1:
-            # mbuf/dbuf are double-buffered (x2) for the DMA pipeline
-            est = 4 * (2 * c * (target + taps - 1) * s1p * s2p     # mbuf
-                       + 2 * 3 * target * s1d * s2d                # dbuf
+            est = 4 * (c * (target + taps - 1) * s1p * s2p        # mbuf
+                       + 3 * target * s1d * s2d                   # dbuf
                        + (n_w + 4 + 2 * c) * target * S1 * S2)
             if est <= 3 * 2**20:
                 break
             target //= 2
     bz = _pick_slab(S0, target=target)
-    n_z = S0 // bz
 
     kern = functools.partial(_warp_halo_kernel, bz=bz, halo=halo,
-                             spatial=spatial, c=c, b_mov=b,
-                             n_steps=b_df * n_z)
+                             spatial=spatial, c=c, b_mov=b)
     out = pl.pallas_call(
         kern,
-        grid=(b_df, n_z),
+        grid=(b_df, S0 // bz),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -253,10 +218,10 @@ def _warp_halo_pallas(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_df, c, S0, S1, S2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, c, bz + taps - 1, s1p, s2p), jnp.float32),
-            pltpu.VMEM((2, 3, bz, s1d, s2d), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((c, bz + taps - 1, s1p, s2p), jnp.float32),
+            pltpu.VMEM((3, bz, s1d, s2d), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(mp, dp)
@@ -265,8 +230,7 @@ def _warp_halo_pallas(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
 
 def _warp_halo_dfgrad_kernel(mov_hbm, df_hbm, g_hbm, out_ref, mbuf, dbuf,
                              gbuf, sem_m, sem_d, sem_g, *, bz: int,
-                             halo: int, spatial, c: int, b_mov: int,
-                             n_steps: int):
+                             halo: int, spatial, c: int, b_mov: int):
     """One (b_df, z-slab) grid step of the warp's df-cotangent:
 
       g_df[v, a] = dscale_a(v) * sum_ch g[v, ch] *
@@ -279,47 +243,22 @@ def _warp_halo_dfgrad_kernel(mov_hbm, df_hbm, g_hbm, out_ref, mbuf, dbuf,
     """
     b = pl.program_id(0)
     zi = pl.program_id(1)
-    n_z = pl.num_programs(1)
     S0, S1, S2 = spatial
     taps = 2 * halo + 2
 
-    # double-buffered slab DMAs pipelined across grid steps (see
-    # _warp_halo_kernel): start next step's copies before waiting on own
-    def dmas(slot, bb, zz):
-        return (
-            pltpu.make_async_copy(
-                mov_hbm.at[jax.lax.rem(bb, b_mov), :,
-                           pl.ds(zz * bz, bz + taps - 1)],
-                mbuf.at[slot], sem_m.at[slot]),
-            pltpu.make_async_copy(
-                df_hbm.at[bb, :, pl.ds(zz * bz, bz)],
-                dbuf.at[slot], sem_d.at[slot]),
-            pltpu.make_async_copy(
-                g_hbm.at[bb, :, pl.ds(zz * bz, bz)],
-                gbuf.at[slot], sem_g.at[slot]),
-        )
-
-    step = b * n_z + zi
-    slot = jax.lax.rem(step, 2)
-
-    @pl.when(step == 0)
-    def _():
-        for d in dmas(0, b, zi):
-            d.start()
-
-    nxt = step + 1
-
-    @pl.when(nxt < n_steps)
-    def _():
-        for d in dmas(jax.lax.rem(nxt, 2),
-                      jax.lax.div(nxt, n_z), jax.lax.rem(nxt, n_z)):
-            d.start()
-
-    for d in dmas(slot, b, zi):
-        d.wait()
-    mbuf = mbuf.at[slot]
-    dbuf = dbuf.at[slot]
-    gbuf = gbuf.at[slot]
+    dma_m = pltpu.make_async_copy(
+        mov_hbm.at[jax.lax.rem(b, b_mov), :, pl.ds(zi * bz, bz + taps - 1)],
+        mbuf, sem_m)
+    dma_d = pltpu.make_async_copy(
+        df_hbm.at[b, :, pl.ds(zi * bz, bz)], dbuf, sem_d)
+    dma_g = pltpu.make_async_copy(
+        g_hbm.at[b, :, pl.ds(zi * bz, bz)], gbuf, sem_g)
+    dma_m.start()
+    dma_d.start()
+    dma_g.start()
+    dma_m.wait()
+    dma_d.wait()
+    dma_g.wait()
 
     shape = (bz, S1, S2)
     gz = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + zi * bz).astype(
@@ -432,22 +371,19 @@ def _warp_halo_dfgrad_pallas(moving: jnp.ndarray, df: jnp.ndarray,
         n_w = (4 * taps if taps <= UNROLL_TAPS_MAX else 2 * taps) + 10 + 2 * c
         target = 8
         while target > 1:
-            # slab buffers double-buffered (x2) for the DMA pipeline
-            est = 4 * (2 * c * (target + taps - 1) * s1p * s2p
-                       + 2 * (3 + c) * target * s1d * s2d
+            est = 4 * (c * (target + taps - 1) * s1p * s2p
+                       + (3 + c) * target * s1d * s2d
                        + n_w * target * S1 * S2)
             if est <= 3 * 2**20:  # see the forward's budget comment
                 break
             target //= 2
     bz = _pick_slab(S0, target=target)
 
-    n_z = S0 // bz
     kern = functools.partial(_warp_halo_dfgrad_kernel, bz=bz, halo=halo,
-                             spatial=spatial, c=c, b_mov=b,
-                             n_steps=b_df * n_z)
+                             spatial=spatial, c=c, b_mov=b)
     out = pl.pallas_call(
         kern,
-        grid=(b_df, n_z),
+        grid=(b_df, S0 // bz),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
@@ -456,12 +392,12 @@ def _warp_halo_dfgrad_pallas(moving: jnp.ndarray, df: jnp.ndarray,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_df, 3, S0, S1, S2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, c, bz + taps - 1, s1p, s2p), jnp.float32),
-            pltpu.VMEM((2, 3, bz, s1d, s2d), jnp.float32),
-            pltpu.VMEM((2, c, bz, s1d, s2d), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((c, bz + taps - 1, s1p, s2p), jnp.float32),
+            pltpu.VMEM((3, bz, s1d, s2d), jnp.float32),
+            pltpu.VMEM((c, bz, s1d, s2d), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(mp, dp, gp)
@@ -470,7 +406,7 @@ def _warp_halo_dfgrad_pallas(moving: jnp.ndarray, df: jnp.ndarray,
 
 def _warp_halo_mgrad_kernel(df_hbm, g_hbm, out_ref, dbuf, gbuf, sem_d,
                             sem_g, *, bz: int, by: int, halo: int,
-                            spatial, c: int, n_steps: int):
+                            spatial, c: int):
     """One (b, z-slab) grid step of the warp's moving-cotangent:
 
       gm[u, ch] = sum_o  W(df at u-o, o) * g[u-o, ch]
@@ -486,46 +422,19 @@ def _warp_halo_mgrad_kernel(df_hbm, g_hbm, out_ref, dbuf, gbuf, sem_d,
     b = pl.program_id(0)
     zi = pl.program_id(1)
     yi = pl.program_id(2)
-    n_z = pl.num_programs(1)
-    n_y = pl.num_programs(2)
     S0, S1, S2 = spatial
     taps = 2 * halo + 2
     ez = bz + 2 * halo + 1
-    eyp = dbuf.shape[3]  # sublane-rounded y window (by + 2H+1, mult of 8)
+    eyp = dbuf.shape[2]  # sublane-rounded y window (by + 2H+1, mult of 8)
 
-    # double-buffered slab DMAs pipelined across grid steps (see
-    # _warp_halo_kernel): start next step's copies before waiting on own
-    def dmas(slot, bb, zz, yy):
-        return (
-            pltpu.make_async_copy(
-                df_hbm.at[bb, :, pl.ds(zz * bz, ez), pl.ds(yy * by, eyp)],
-                dbuf.at[slot], sem_d.at[slot]),
-            pltpu.make_async_copy(
-                g_hbm.at[bb, :, pl.ds(zz * bz, ez), pl.ds(yy * by, eyp)],
-                gbuf.at[slot], sem_g.at[slot]),
-        )
-
-    step = (b * n_z + zi) * n_y + yi
-    slot = jax.lax.rem(step, 2)
-
-    @pl.when(step == 0)
-    def _():
-        for d in dmas(0, b, zi, yi):
-            d.start()
-
-    nxt = step + 1
-
-    @pl.when(nxt < n_steps)
-    def _():
-        for d in dmas(jax.lax.rem(nxt, 2), jax.lax.div(nxt, n_z * n_y),
-                      jax.lax.rem(jax.lax.div(nxt, n_y), n_z),
-                      jax.lax.rem(nxt, n_y)):
-            d.start()
-
-    for d in dmas(slot, b, zi, yi):
-        d.wait()
-    dbuf = dbuf.at[slot]
-    gbuf = gbuf.at[slot]
+    dma_d = pltpu.make_async_copy(
+        df_hbm.at[b, :, pl.ds(zi * bz, ez), pl.ds(yi * by, eyp)], dbuf, sem_d)
+    dma_g = pltpu.make_async_copy(
+        g_hbm.at[b, :, pl.ds(zi * bz, ez), pl.ds(yi * by, eyp)], gbuf, sem_g)
+    dma_d.start()
+    dma_g.start()
+    dma_d.wait()
+    dma_g.wait()
 
     shape = (bz, by, S2)
     # interior (output-voxel) global coordinates of this (z, y) block
@@ -613,13 +522,11 @@ def _warp_halo_mgrad_pallas(df: jnp.ndarray, g: jnp.ndarray, halo: int,
     gp = jnp.pad(gcf, ((0, 0), (0, 0), (lo, halo),
                        (lo, s1p - S1 - lo), (lo, s2p - S2 - lo)))
 
-    n_z = S0 // bz
     kern = functools.partial(_warp_halo_mgrad_kernel, bz=bz, by=by,
-                             halo=halo, spatial=spatial, c=c,
-                             n_steps=b * n_z * ny)
+                             halo=halo, spatial=spatial, c=c)
     out = pl.pallas_call(
         kern,
-        grid=(b, n_z, ny),
+        grid=(b, S0 // bz, ny),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -627,10 +534,10 @@ def _warp_halo_mgrad_pallas(df: jnp.ndarray, g: jnp.ndarray, halo: int,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, S0, S1, S2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, ez, eyp, s2p), jnp.float32),
-            pltpu.VMEM((2, c, ez, eyp, s2p), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3, ez, eyp, s2p), jnp.float32),
+            pltpu.VMEM((c, ez, eyp, s2p), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(dp, gp)

@@ -55,47 +55,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _step_kernel_3d(hbm_ref, out_ref, vbuf, sem, *, bz: int, spatial,
-                    n_steps: int):
+def _step_kernel_3d(hbm_ref, out_ref, vbuf, sem, *, bz: int, spatial):
     """One (b, z-slab) grid step: out = vec + trilinear(vec, grid+vec).
 
     The input arrives padded so the DMA'd window has tile-aligned
     trailing dims (sublane multiple of 8, lane multiple of 128 — Mosaic
     rejects unaligned memref slices); the kernel reads only the live
     (S1+2, S2+2) halo region.
-
-    Slab DMAs are double-buffered and pipelined across grid steps (each
-    step starts the next step's copy before waiting on its own) — the
-    grid runs hundreds of steps at level-res shapes and serial DMA
-    latency dominated the kernel (kernels/warp_halo.py has the same
-    pattern).
     """
     b = pl.program_id(0)
     zi = pl.program_id(1)
-    n_z = pl.num_programs(1)
     S0, S1, S2 = spatial
 
-    def dma(slot, bb, zz):
-        return pltpu.make_async_copy(
-            hbm_ref.at[bb, :, pl.ds(zz * bz, bz + 2)],
-            vbuf.at[slot], sem.at[slot])
-
-    step = b * n_z + zi
-    slot = jax.lax.rem(step, 2)
-
-    @pl.when(step == 0)
-    def _():
-        dma(0, b, zi).start()
-
-    nxt = step + 1
-
-    @pl.when(nxt < n_steps)
-    def _():
-        dma(jax.lax.rem(nxt, 2), jax.lax.div(nxt, n_z),
-            jax.lax.rem(nxt, n_z)).start()
-
-    dma(slot, b, zi).wait()
-    vbuf = vbuf.at[slot]
+    dma = pltpu.make_async_copy(
+        hbm_ref.at[b, :, pl.ds(zi * bz, bz + 2)], vbuf, sem)
+    dma.start()
+    dma.wait()
 
     center = vbuf[:, 1:bz + 1, 1:S1 + 1, 1:S2 + 1]  # (3, bz, S1, S2)
 
@@ -177,12 +152,10 @@ def _squaring_step_pallas(vec: jnp.ndarray, interpret: bool = False) -> jnp.ndar
         vp = jnp.pad(vcf, ((0, 0), (0, 0), (1, 1),
                            (1, s1p - S1 - 1), (1, s2p - S2 - 1)))
         bz = _pick_slab(S0)
-        n_z = S0 // bz
-        kern = functools.partial(_step_kernel_3d, bz=bz, spatial=spatial,
-                                 n_steps=b * n_z)
+        kern = functools.partial(_step_kernel_3d, bz=bz, spatial=spatial)
         out = pl.pallas_call(
             kern,
-            grid=(b, n_z),
+            grid=(b, S0 // bz),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (1, ndims, bz, S1, S2),
@@ -191,8 +164,8 @@ def _squaring_step_pallas(vec: jnp.ndarray, interpret: bool = False) -> jnp.ndar
             ),
             out_shape=jax.ShapeDtypeStruct((b, ndims, S0, S1, S2), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((2, ndims, bz + 2, s1p, s2p), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((ndims, bz + 2, s1p, s2p), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
             ],
             interpret=interpret,
         )(vp)
@@ -222,7 +195,7 @@ def _squaring_step_pallas(vec: jnp.ndarray, interpret: bool = False) -> jnp.ndar
 
 
 def _bwd_kernel_3d(v_hbm, g_hbm, out_ref, vbuf, gbuf, sem_v, sem_g, *,
-                   bz: int, spatial, n_steps: int):
+                   bz: int, spatial):
     """Transpose of the 27-tap squaring step (one (b, z-slab) grid step).
 
     Forward: out_i = v_i + sum_o w_o(v_i) * v_{i+o}. The VJP w.r.t. v
@@ -245,41 +218,16 @@ def _bwd_kernel_3d(v_hbm, g_hbm, out_ref, vbuf, gbuf, sem_v, sem_g, *,
     """
     b = pl.program_id(0)
     zi = pl.program_id(1)
-    n_z = pl.num_programs(1)
     S0, S1, S2 = spatial
 
-    # double-buffered slab DMAs pipelined across grid steps (see
-    # _step_kernel_3d)
-    def dmas(slot, bb, zz):
-        return (
-            pltpu.make_async_copy(
-                v_hbm.at[bb, :, pl.ds(zz * bz, bz + 2)],
-                vbuf.at[slot], sem_v.at[slot]),
-            pltpu.make_async_copy(
-                g_hbm.at[bb, :, pl.ds(zz * bz, bz + 2)],
-                gbuf.at[slot], sem_g.at[slot]),
-        )
-
-    step = b * n_z + zi
-    slot = jax.lax.rem(step, 2)
-
-    @pl.when(step == 0)
-    def _():
-        for d in dmas(0, b, zi):
-            d.start()
-
-    nxt = step + 1
-
-    @pl.when(nxt < n_steps)
-    def _():
-        for d in dmas(jax.lax.rem(nxt, 2), jax.lax.div(nxt, n_z),
-                      jax.lax.rem(nxt, n_z)):
-            d.start()
-
-    for d in dmas(slot, b, zi):
-        d.wait()
-    vbuf = vbuf.at[slot]
-    gbuf = gbuf.at[slot]
+    dma_v = pltpu.make_async_copy(
+        v_hbm.at[b, :, pl.ds(zi * bz, bz + 2)], vbuf, sem_v)
+    dma_g = pltpu.make_async_copy(
+        g_hbm.at[b, :, pl.ds(zi * bz, bz + 2)], gbuf, sem_g)
+    dma_v.start()
+    dma_g.start()
+    dma_v.wait()
+    dma_g.wait()
 
     ez, ey, ex = bz + 2, S1 + 2, S2 + 2  # extended (haloed) region
     ve = vbuf[:, :, :ey, :ex]            # (3, ez, ey, ex)
@@ -375,12 +323,10 @@ def _squaring_step_bwd_pallas(vec: jnp.ndarray, g: jnp.ndarray,
     # per-axis hats and their derivatives) — use thinner slabs than the
     # forward to stay inside the 16M scoped-VMEM limit
     bz = _pick_slab(S0, target=2)
-    n_z = S0 // bz
-    kern = functools.partial(_bwd_kernel_3d, bz=bz, spatial=spatial,
-                             n_steps=b * n_z)
+    kern = functools.partial(_bwd_kernel_3d, bz=bz, spatial=spatial)
     out = pl.pallas_call(
         kern,
-        grid=(b, n_z),
+        grid=(b, S0 // bz),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -388,10 +334,10 @@ def _squaring_step_bwd_pallas(vec: jnp.ndarray, g: jnp.ndarray,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 3, S0, S1, S2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, bz + 2, s1p, s2p), jnp.float32),
-            pltpu.VMEM((2, 3, bz + 2, s1p, s2p), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3, bz + 2, s1p, s2p), jnp.float32),
+            pltpu.VMEM((3, bz + 2, s1p, s2p), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(vp, gp)
