@@ -26,7 +26,7 @@ from pulpo_tpu.eval.artifact import artifact as artifact_fn
 from pulpo_tpu.eval.tables import make_tables, table_jdet
 from pulpo_tpu.models.api import PULPoModel
 from pulpo_tpu.ops import losses as L
-from pulpo_tpu.ops.warp import warp_image, warp_landmarks
+from pulpo_tpu.ops.warp import warp_image_auto, warp_landmarks
 from pulpo_tpu.uq.predict import predict_with_uncertainty
 
 
@@ -224,7 +224,7 @@ class Evaluate:
             combined_dfs, final_dfs = model.combine_dfs(individual_dfs)
             if self.segs and seg_x is not None:
                 warped_seg = {
-                    l: warp_image(jnp.asarray(seg_x), final_dfs[l]) for l in final_dfs}
+                    l: warp_image_auto(jnp.asarray(seg_x), final_dfs[l]) for l in final_dfs}
             else:
                 warped_seg = {0: np.empty((0,), np.float32)}
             return (
@@ -240,7 +240,7 @@ class Evaluate:
             keep_samples=keep_samples)
         combined_dfs, final_dfs = model.combine_dfs(res.avg_dfs)
         if self.segs and seg_x is not None:
-            warped_seg = {l: warp_image(jnp.asarray(seg_x), final_dfs[l]) for l in final_dfs}
+            warped_seg = {l: warp_image_auto(jnp.asarray(seg_x), final_dfs[l]) for l in final_dfs}
         else:
             warped_seg = {0: np.empty((0,), np.float32)}
         preds = [res.mean_outputs[0], final_dfs[0], warped_seg[0], res.mean_outputs,
@@ -260,7 +260,7 @@ class Evaluate:
             if self.segs and seg_x is not None and x.ndim == 4:  # 2D
                 seg_rep = jnp.repeat(jnp.asarray(seg_x), num_samples, axis=0)
                 all_warped_seg = {
-                    l: warp_image(seg_rep, res.sample_final_dfs[l][:, 0])
+                    l: warp_image_auto(seg_rep, res.sample_final_dfs[l][:, 0])
                     for l in all_final}
             else:
                 all_warped_seg = {0: np.empty((0,), np.float32)}
@@ -300,7 +300,7 @@ class Evaluate:
                 has_segs = seg_x is not None
                 if has_segs:
                     pred_segs = {
-                        l: warp_image(jnp.asarray(seg_x), final_dfs[l]) for l in final_dfs}
+                        l: warp_image_auto(jnp.asarray(seg_x), final_dfs[l]) for l in final_dfs}
 
                 num_pixels = {
                     l: float(np.prod(outputs[l].shape[1:-1])) for l in range(K)}
@@ -637,7 +637,7 @@ class Evaluate:
                         np.asarray(L.jacobian_det(df_pred)))
                     seg_x, seg_y = batch.get("seg_x"), batch.get("seg_y")
                     if "Dice" in self.metric_names and seg_x is not None:
-                        pred_seg = warp_image(jnp.asarray(seg_x), final_dfs[0])
+                        pred_seg = warp_image_auto(jnp.asarray(seg_x), final_dfs[0])
                         all_metrics[self.metric_names.index("Dice"), k, j] = 1 - float(
                             L.soft_dice_loss(pred_seg, jnp.asarray(seg_y)) / num_pixels)
             # one row per model (all loaders aggregated), matching the

@@ -49,8 +49,10 @@ UNROLL_TAPS_MAX = 12
 
 # above this tap count, per-axis hat weights are recomputed inline per
 # (oy, ox) instead of precomputed as 2*taps live VMEM arrays (the lists
-# dominate Mosaic's scoped-stack high-water mark for long chains)
-INLINE_W_TAPS = 8
+# dominate Mosaic's scoped-stack high-water mark for long chains).
+# Env-tunable: lowering it shrinks the live set, which lets bigger
+# z-slabs (PULPO_WARP_BZ) through Mosaic's 16M scoped-VMEM limit.
+INLINE_W_TAPS = int(os.environ.get("PULPO_WARP_INLINE_W", "8"))
 
 
 def _warp_halo_kernel(mov_hbm, df_hbm, out_ref, mbuf, dbuf, sem_m, sem_d, *,

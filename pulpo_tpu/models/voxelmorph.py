@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from pulpo_tpu.models.blocks import TorchConv
 from pulpo_tpu.ops.resize import avg_pool_ceil
-from pulpo_tpu.ops.warp import integrate_svf, resize_vecfield, warp_image
+from pulpo_tpu.ops.warp import integrate_svf, resize_vecfield, warp_image_auto
 
 
 class _ConvLReLU(nn.Module):
@@ -84,7 +84,7 @@ class VxmDense(nn.Module):
 
         integrated = integrate_svf(z, nsteps=self.int_steps)
         full_df = resize_vecfield(integrated, 0.5, out_size=moving.shape[1:-1])
-        moved = warp_image(moving.astype(jnp.float32), full_df)
+        moved = warp_image_auto(moving.astype(jnp.float32), full_df)
         return moved, full_df, (mu.astype(jnp.float32), sigma, z)
 
 
