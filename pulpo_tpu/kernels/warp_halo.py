@@ -50,8 +50,15 @@ UNROLL_TAPS_MAX = 12
 # above this tap count, per-axis hat weights are recomputed inline per
 # (oy, ox) instead of precomputed as 2*taps live VMEM arrays (the lists
 # dominate Mosaic's scoped-stack high-water mark for long chains).
-# Env-tunable: lowering it shrinks the live set, which lets bigger
-# z-slabs (PULPO_WARP_BZ) through Mosaic's 16M scoped-VMEM limit.
+# SINGLE-channel warps (c=1: the image warps) inline at every tap count
+# regardless: measured FASTER at full-res 8 rows (H=2 fwd 0.059 s vs
+# 0.065, H=3 0.095 vs 0.099 — fewer live VMEM temporaries beat the
+# taps^2 recompute) and hardware-validated. MULTI-channel warps (c=3:
+# the tiered squaring steps) must NOT inline below this threshold:
+# Mosaic's stack for the c=3/taps=8 inline chain measured 27.57M at
+# l1 shapes (> the 16M limit, breaks the UQ compile). Forcing bigger
+# z-slabs (PULPO_WARP_BZ=2 at full res) crashes the relay's compile
+# helper outright — slabs stay auto-sized.
 INLINE_W_TAPS = int(os.environ.get("PULPO_WARP_INLINE_W", "8"))
 
 
@@ -108,7 +115,7 @@ def _warp_halo_kernel(mov_hbm, df_hbm, out_ref, mbuf, dbuf, sem_m, sem_d, *,
     # sublane-dim slice starts ("cannot statically prove index is a
     # multiple of 8") — that path is interpret-only; hardware tiers are
     # capped at UNROLL_TAPS_MAX (see halo_cascade).
-    inline_w = taps > INLINE_W_TAPS
+    inline_w = taps > INLINE_W_TAPS or c == 1
     wx = None if inline_w else [hat(rel[2], float(ox - halo))
                                 for ox in range(taps)]
     wy = ([hat(rel[1], float(oy - halo)) for oy in range(taps)]
@@ -197,6 +204,8 @@ def _warp_halo_pallas(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
     if env_bz:
         target = int(env_bz)
     else:
+        # budget with the PRECOMPUTED path's live set even when c==1
+        # inlines: same (validated) bz choice, strictly less VMEM
         n_w = 4 if taps > INLINE_W_TAPS else 2 * taps
         target = 8
         while target > 1:
