@@ -77,6 +77,17 @@ class _RawConv(nn.Module):
 
         if use_tapgrad(x, self.kernel_size, self.padding):
             return conv3d_tapgrad(x, kernel)
+        # narrow-cin convs (the VelocityField head's z->n0): XLA computes
+        # them on the VPU at its f32 ceiling (2 TF/s); the Pallas MXU
+        # im2col kernel is ~2x (kernels/conv_narrow.py). Opt-in
+        # (PULPO_CONV_NARROW=1) until hardware-validated.
+        from pulpo_tpu.kernels.conv_narrow import (
+            conv3d_narrow,
+            narrow_applicable,
+        )
+
+        if narrow_applicable(x, self.kernel_size, self.padding):
+            return conv3d_narrow(x, kernel)
         # 96->96 convs hit a pathological XLA conv emitter (17.6 TFLOP/s
         # measured vs 52-79 for 96->64/64->64/64->96 at the same shape);
         # zero-padding both channel dims to the 128-lane width runs
