@@ -77,10 +77,10 @@ class _RawConv(nn.Module):
 
         if use_tapgrad(x, self.kernel_size, self.padding):
             return conv3d_tapgrad(x, kernel)
-        # narrow-cin convs (the VelocityField head's z->n0): XLA computes
-        # them on the VPU at its f32 ceiling (2 TF/s); the Pallas MXU
-        # im2col kernel is ~2x (kernels/conv_narrow.py). Opt-in
-        # (PULPO_CONV_NARROW=1) until hardware-validated.
+        # narrow-cin convs (the VelocityField head's z->n0): the Pallas
+        # MXU im2col kernel is 1.8x isolated and bit-exact, but the
+        # layout glue around the custom call costs more than it saves
+        # composed (bench -2.9%) — opt-in only (kernels/conv_narrow.py).
         from pulpo_tpu.kernels.conv_narrow import (
             conv3d_narrow,
             narrow_applicable,

@@ -547,7 +547,7 @@ class TestConvNarrowMXU:
     must match the XLA conv up to f32 summation order; VJP is defined
     AS the XLA conv vjp."""
 
-    def _mk(self, B=2, S=(9, 10, 12), cin=3, cout=32):
+    def _mk(self, B=2, S=(8, 10, 12), cin=3, cout=32):
         import jax
         import jax.numpy as jnp
 
