@@ -255,6 +255,34 @@ class VelocityField(nn.Module):
             return z
         if self.depth == 1:
             return TorchConv(self.ndims, 3, "VALID", dtype=self.dtype)(z)
+        # fused whole-head Pallas kernel (kernels/vel_head.py): eval only
+        # (BN running stats), depth-3 heads at level-res shapes. Params
+        # are read straight from this module's bound variables — the
+        # children below are only executed on the XLA path (and at init,
+        # which creates them).
+        from pulpo_tpu.kernels.vel_head import vel_head_mode, velocity_head
+
+        if (not train and self.depth == 3 and not self.is_initializing()
+                and "batch_stats" in self.variables
+                and vel_head_mode(z, self.max_channels, self.ndims)):
+            v = self.variables
+            pp, bs = v["params"], v["batch_stats"]
+
+            def unit(i):
+                cu, b = pp[f"ConvUnit_{i}"], bs[f"ConvUnit_{i}"]["BatchNorm_0"]
+                cv, bn = cu["TorchConv_0"]["Conv_0"], cu["BatchNorm_0"]
+                n = i + 1
+                return {f"k{n}": cv["kernel"], f"b{n}": cv["bias"],
+                        f"mean{n}": b["mean"], f"var{n}": b["var"],
+                        f"scale{n}": bn["scale"], f"bias{n}": bn["bias"]}
+
+            p = {**unit(0), **unit(1),
+                 "k3": pp["TorchConv_0"]["Conv_0"]["kernel"],
+                 "b3": pp["TorchConv_0"]["Conv_0"]["bias"]}
+            dt = self.dtype or jnp.result_type(z.dtype, p["k1"].dtype)
+            return velocity_head(
+                z.astype(dt), p,
+                vel_head_mode(z, self.max_channels, self.ndims) == "interp")
         x = ConvUnit(self.max_channels, self.dtype, self.bn_axis_name)(z, train)
         for _ in range(self.depth - 2):
             x = ConvUnit(self.max_channels, self.dtype, self.bn_axis_name)(x, train)

@@ -600,3 +600,158 @@ class TestConvNarrowMXU:
                                    rtol=0, atol=2e-5)
         for a, b in zip(vjp_n(g), vjp_ref(g)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestVelHeadFused:
+    """velocity_head (fused whole-VelocityField-head MXU kernel,
+    kernels/vel_head.py): forward must match the flax/XLA eval
+    composition up to f32 summation order; VJP is defined AS the XLA
+    composition vjp; the flax routing (PULPO_FUSED_VELHEAD=interp hook)
+    must be output-equivalent to the unfused module."""
+
+    def _params(self, key, zdim=3, n0=8, ndims=3):
+        import jax
+        import jax.numpy as jnp
+
+        ks = jax.random.split(key, 14)
+        r = lambda i, shape, s=1.0: jax.random.normal(ks[i], shape) * s
+        return {
+            "k1": r(0, (3, 3, 3, zdim, n0), 0.3),
+            "b1": r(1, (n0,), 0.1),
+            "mean1": r(2, (n0,), 0.5),
+            "var1": jax.nn.softplus(r(3, (n0,))) + 0.1,
+            "scale1": r(4, (n0,)) + 1.0,
+            "bias1": r(5, (n0,), 0.2),
+            "k2": r(6, (3, 3, 3, n0, n0), 0.2),
+            "b2": r(7, (n0,), 0.1),
+            "mean2": r(8, (n0,), 0.5),
+            "var2": jax.nn.softplus(r(9, (n0,))) + 0.1,
+            "scale2": r(10, (n0,)) + 1.0,
+            "bias2": r(11, (n0,), 0.2),
+            "k3": r(12, (1, 1, 1, n0, ndims), 0.5),
+            "b3": r(13, (ndims,), 0.1),
+        }
+
+    def test_forward_matches_xla_f32(self):
+        import jax
+        import numpy as np
+
+        from pulpo_tpu.kernels.vel_head import (
+            velocity_head_fused,
+            velocity_head_xla,
+        )
+
+        key = jax.random.key(21)
+        p = self._params(key)
+        # S0 edge planes (zero-plane logic) and S2 < WP lane masking are
+        # exercised by the full-tensor comparison
+        z = jax.random.normal(jax.random.fold_in(key, 1), (2, 16, 10, 12, 3))
+        out = velocity_head_fused(z, p, interpret=True)
+        ref = velocity_head_xla(z, p)
+        assert out.shape == ref.shape == (2, 16, 10, 12, 3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0, atol=3e-5)
+
+    def test_forward_matches_xla_bf16(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pulpo_tpu.kernels.vel_head import (
+            velocity_head_fused,
+            velocity_head_xla,
+        )
+
+        key = jax.random.key(22)
+        p = self._params(key, n0=16)
+        z = jax.random.normal(
+            jax.random.fold_in(key, 1), (1, 8, 20, 24, 3), jnp.bfloat16)
+        out = velocity_head_fused(z, p, interpret=True)
+        assert out.dtype == jnp.bfloat16
+        ref = velocity_head_xla(z, p)
+        err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+        assert err.max() < 0.05 * np.abs(np.asarray(ref, np.float32)).max()
+
+    def test_vjp_is_xla_composition(self):
+        import jax
+        import numpy as np
+
+        from pulpo_tpu.kernels.vel_head import velocity_head, velocity_head_xla
+
+        key = jax.random.key(23)
+        p = self._params(key)
+        z = jax.random.normal(jax.random.fold_in(key, 1), (1, 8, 10, 12, 3))
+        g = jax.random.normal(jax.random.fold_in(key, 2), z.shape)
+        out_f, vjp_f = jax.vjp(lambda a, q: velocity_head(a, q, True), z, p)
+        out_r, vjp_r = jax.vjp(velocity_head_xla, z, p)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                                   rtol=0, atol=3e-5)
+        gz_f, gp_f = vjp_f(g)
+        gz_r, gp_r = vjp_r(g)
+        np.testing.assert_array_equal(np.asarray(gz_f), np.asarray(gz_r))
+        for k in gp_r:
+            np.testing.assert_array_equal(np.asarray(gp_f[k]),
+                                          np.asarray(gp_r[k]))
+
+    def test_flax_routing_matches_unfused(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pulpo_tpu.models.blocks import VelocityField
+
+        vf = VelocityField(ndims=3, max_channels=8, depth=3)
+        # guard needs vol >= 32768, S0 % 8 == 0, S2 + 2 <= 128
+        z = jax.random.normal(jax.random.key(24), (1, 16, 48, 56, 3))
+        variables = vf.init({"params": jax.random.key(25)}, z, True)
+        # nontrivial running stats (init leaves mean=0/var=1)
+        bs = jax.tree.map(lambda a: a, variables["batch_stats"])
+        for u in ("ConvUnit_0", "ConvUnit_1"):
+            n = bs[u]["BatchNorm_0"]["mean"].shape[0]
+            bs[u]["BatchNorm_0"]["mean"] = (
+                jax.random.normal(jax.random.fold_in(jax.random.key(26), n),
+                                  (n,)) * 0.3)
+            bs[u]["BatchNorm_0"]["var"] = (
+                jax.nn.softplus(jax.random.normal(
+                    jax.random.fold_in(jax.random.key(27), n), (n,))) + 0.2)
+        variables = {"params": variables["params"], "batch_stats": bs}
+
+        monkeypatch.setenv("PULPO_FUSED_VELHEAD", "0")
+        ref = vf.apply(variables, z, False)
+        monkeypatch.setenv("PULPO_FUSED_VELHEAD", "interp")
+        got = vf.apply(variables, z, False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=3e-5)
+        # train=True must stay on the unfused path (batch-stat BN)
+        got_t = vf.apply(variables, z, True,
+                         mutable=["batch_stats"])[0]
+        ref_t = vf.apply(variables, z, True,
+                         mutable=["batch_stats"])[0]
+        np.testing.assert_array_equal(np.asarray(got_t), np.asarray(ref_t))
+
+    def test_xla_mirror_matches_flax_module(self):
+        import jax
+        import numpy as np
+
+        from pulpo_tpu.kernels.vel_head import velocity_head_xla
+        from pulpo_tpu.models.blocks import VelocityField
+
+        vf = VelocityField(ndims=3, max_channels=8, depth=3)
+        z = jax.random.normal(jax.random.key(28), (1, 8, 10, 12, 3))
+        variables = vf.init({"params": jax.random.key(29)}, z, True)
+        pp, bs = variables["params"], variables["batch_stats"]
+
+        def unit(i):
+            cu, b = pp[f"ConvUnit_{i}"], bs[f"ConvUnit_{i}"]["BatchNorm_0"]
+            cv, bn = cu["TorchConv_0"]["Conv_0"], cu["BatchNorm_0"]
+            n = i + 1
+            return {f"k{n}": cv["kernel"], f"b{n}": cv["bias"],
+                    f"mean{n}": b["mean"], f"var{n}": b["var"],
+                    f"scale{n}": bn["scale"], f"bias{n}": bn["bias"]}
+
+        p = {**unit(0), **unit(1),
+             "k3": pp["TorchConv_0"]["Conv_0"]["kernel"],
+             "b3": pp["TorchConv_0"]["Conv_0"]["bias"]}
+        ref = vf.apply(variables, z, False)
+        got = velocity_head_xla(z, p)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
