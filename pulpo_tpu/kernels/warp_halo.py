@@ -62,34 +62,18 @@ UNROLL_TAPS_MAX = 12
 INLINE_W_TAPS = int(os.environ.get("PULPO_WARP_INLINE_W", "8"))
 
 
-def _warp_halo_kernel(mov_hbm, df_hbm, out_ref, mbuf, dbuf, sem_m, sem_d, *,
-                      bz: int, halo: int, spatial, c: int, b_mov: int):
-    """One (b_df, z-slab) grid step: out = trilinear(moving, grid + df).
-
-    mov_hbm: (B, C, S0 + 2H + 1, s1p, s2p) zero-padded, tile-aligned
-    trailing dims; position of source voxel s is s + H per axis.
-    df_hbm: (B_df, 3, S0, s1p_d, s2p_d). Taps o in {-H, ..., H+1}; the
-    hat weight max(0, 1 - |rel - o|) is nonzero for exactly the two
-    integer corners of each voxel, so zero padding is exact (clamped
-    coordinates keep all nonzero-weight taps inside the volume).
-    """
-    b = pl.program_id(0)
-    zi = pl.program_id(1)
+def _halo_tap_accumulate(mbuf, dbuf, z0, *, bz: int, halo: int, spatial,
+                         c: int):
+    """Accumulate the (2H+2)^3 hat-weighted taps of one z-slab whose
+    first output slice sits at (dynamic) global z `z0`. Shared by the
+    per-slab-grid kernel and the internal-z-loop kernel — identical
+    math, one source of truth. Returns a c-tuple of (bz, S1, S2) f32
+    accumulators."""
     S0, S1, S2 = spatial
     taps = 2 * halo + 2
 
-    dma_m = pltpu.make_async_copy(
-        mov_hbm.at[jax.lax.rem(b, b_mov), :, pl.ds(zi * bz, bz + taps - 1)],
-        mbuf, sem_m)
-    dma_d = pltpu.make_async_copy(
-        df_hbm.at[b, :, pl.ds(zi * bz, bz)], dbuf, sem_d)
-    dma_m.start()
-    dma_d.start()
-    dma_m.wait()
-    dma_d.wait()
-
     shape = (bz, S1, S2)
-    gz = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + zi * bz).astype(
+    gz = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + z0).astype(
         jnp.float32)
     gy = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
     gx = jax.lax.broadcasted_iota(jnp.int32, shape, 2).astype(jnp.float32)
@@ -156,10 +140,92 @@ def _warp_halo_kernel(mov_hbm, df_hbm, out_ref, mbuf, dbuf, sem_m, sem_d, *,
 
         return jax.lax.fori_loop(0, taps, y_tap, acc)
 
-    acc = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, taps, z_tap,
         tuple(jnp.zeros(shape, jnp.float32) for _ in range(c)))
+
+
+def _warp_halo_kernel(mov_hbm, df_hbm, out_ref, mbuf, dbuf, sem_m, sem_d, *,
+                      bz: int, halo: int, spatial, c: int, b_mov: int):
+    """One (b_df, z-slab) grid step: out = trilinear(moving, grid + df).
+
+    mov_hbm: (B, C, S0 + 2H + 1, s1p, s2p) zero-padded, tile-aligned
+    trailing dims; position of source voxel s is s + H per axis.
+    df_hbm: (B_df, 3, S0, s1p_d, s2p_d). Taps o in {-H, ..., H+1}; the
+    hat weight max(0, 1 - |rel - o|) is nonzero for exactly the two
+    integer corners of each voxel, so zero padding is exact (clamped
+    coordinates keep all nonzero-weight taps inside the volume).
+    """
+    b = pl.program_id(0)
+    zi = pl.program_id(1)
+    taps = 2 * halo + 2
+
+    dma_m = pltpu.make_async_copy(
+        mov_hbm.at[jax.lax.rem(b, b_mov), :, pl.ds(zi * bz, bz + taps - 1)],
+        mbuf, sem_m)
+    dma_d = pltpu.make_async_copy(
+        df_hbm.at[b, :, pl.ds(zi * bz, bz)], dbuf, sem_d)
+    dma_m.start()
+    dma_d.start()
+    dma_m.wait()
+    dma_d.wait()
+
+    acc = _halo_tap_accumulate(mbuf, dbuf, zi * bz, bz=bz, halo=halo,
+                               spatial=spatial, c=c)
     out_ref[0] = jnp.stack(list(acc), axis=0)
+
+
+def _warp_halo_zloop_kernel(mov_hbm, df_hbm, out_hbm, mbuf, dbuf, obuf,
+                            sem_m, sem_d, sem_o, *, bz: int, halo: int,
+                            spatial, c: int, b_mov: int, nz: int):
+    """One grid step per df ROW; the z-slab walk runs as an internal
+    fori_loop with manual DMAs (same slab sizes, same tap math as
+    `_warp_halo_kernel`).
+
+    Motivation (PERF.md round 3): at full res the VMEM budget forces
+    bz=1, so the per-slab-grid kernel runs S0 grid steps per row
+    (1280/call at the flagship shape) and roughly half its runtime is
+    per-grid-step fixed overhead (H=1-vs-H=2 neutral, DMA pipelining
+    neutral — not taps, not DMA waits). Folding the z walk into the
+    kernel body amortizes that overhead S0/bz-fold without growing the
+    live set: the loop body is exactly the old grid step.
+
+    The output leaves through a staged per-slab DMA (out_hbm in ANY
+    memory, tile-aligned trailing pads sliced off by the caller).
+    """
+    b = pl.program_id(0)
+    S0, S1, S2 = spatial
+    taps = 2 * halo + 2
+
+    def body(zi, carry):
+        dma_m = pltpu.make_async_copy(
+            mov_hbm.at[jax.lax.rem(b, b_mov),
+                       :, pl.ds(zi * bz, bz + taps - 1)],
+            mbuf, sem_m)
+        dma_d = pltpu.make_async_copy(
+            df_hbm.at[b, :, pl.ds(zi * bz, bz)], dbuf, sem_d)
+        dma_m.start()
+        dma_d.start()
+        dma_m.wait()
+        dma_d.wait()
+        acc = _halo_tap_accumulate(mbuf, dbuf, zi * bz, bz=bz, halo=halo,
+                                   spatial=spatial, c=c)
+        obuf[:, :, :S1, :S2] = jnp.stack(list(acc), axis=0)
+        dma_o = pltpu.make_async_copy(
+            obuf, out_hbm.at[b, :, pl.ds(zi * bz, bz)], sem_o)
+        dma_o.start()
+        dma_o.wait()
+        return carry
+
+    jax.lax.fori_loop(0, nz, body, jnp.int32(0))
+
+
+def use_zloop() -> bool:
+    """Internal-z-loop kernel structure (grid over rows, z walked
+    in-kernel). OPT-IN via PULPO_WARP_ZLOOP=1 until the composed
+    flagship A/B lands (round-3 rule: no default flips without a
+    full-bench win)."""
+    return os.environ.get("PULPO_WARP_ZLOOP", "0") == "1"
 
 
 def _warp_halo_pallas(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
@@ -217,6 +283,35 @@ def _warp_halo_pallas(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
             target //= 2
     bz = _pick_slab(S0, target=target)
 
+    if use_zloop():
+        # tile-aligned output pads (DMA'd whole, sliced off below);
+        # interior rows/lanes beyond (S1, S2) carry garbage by design
+        s1o = _round_up(S1, 8)
+        s2o = _round_up(S2, 128)
+        kern = functools.partial(_warp_halo_zloop_kernel, bz=bz, halo=halo,
+                                 spatial=spatial, c=c, b_mov=b,
+                                 nz=S0 // bz)
+        out = pl.pallas_call(
+            kern,
+            grid=(b_df,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((b_df, c, S0, s1o, s2o),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((c, bz + taps - 1, s1p, s2p), jnp.float32),
+                pltpu.VMEM((3, bz, s1d, s2d), jnp.float32),
+                pltpu.VMEM((c, bz, s1o, s2o), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(mp, dp)
+        return jnp.transpose(out[..., :S1, :S2],
+                             (0, 2, 3, 4, 1)).astype(orig_dtype)
+
     kern = functools.partial(_warp_halo_kernel, bz=bz, halo=halo,
                              spatial=spatial, c=c, b_mov=b)
     out = pl.pallas_call(
@@ -254,9 +349,8 @@ def _warp_halo_dfgrad_kernel(mov_hbm, df_hbm, g_hbm, out_ref, mbuf, dbuf,
     """
     b = pl.program_id(0)
     zi = pl.program_id(1)
-    S0, S1, S2 = spatial
-    taps = 2 * halo + 2
 
+    taps = 2 * halo + 2
     dma_m = pltpu.make_async_copy(
         mov_hbm.at[jax.lax.rem(b, b_mov), :, pl.ds(zi * bz, bz + taps - 1)],
         mbuf, sem_m)
@@ -271,8 +365,21 @@ def _warp_halo_dfgrad_kernel(mov_hbm, df_hbm, g_hbm, out_ref, mbuf, dbuf,
     dma_d.wait()
     dma_g.wait()
 
+    out_ref[0] = _dfgrad_tap_accumulate(mbuf, dbuf, gbuf, zi * bz, bz=bz,
+                                        halo=halo, spatial=spatial, c=c)
+
+
+def _dfgrad_tap_accumulate(mbuf, dbuf, gbuf, z0, *, bz: int, halo: int,
+                           spatial, c: int):
+    """The df-cotangent tap accumulation of one z-slab at (dynamic)
+    global z `z0` (see `_warp_halo_dfgrad_kernel`); shared by the grid
+    and internal-z-loop kernel structures. Returns the stacked
+    (3, bz, S1, S2) f32 cotangent."""
+    S0, S1, S2 = spatial
+    taps = 2 * halo + 2
+
     shape = (bz, S1, S2)
-    gz = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + zi * bz).astype(
+    gz = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + z0).astype(
         jnp.float32)
     gy = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
     gx = jax.lax.broadcasted_iota(jnp.int32, shape, 2).astype(jnp.float32)
@@ -335,7 +442,45 @@ def _warp_halo_dfgrad_kernel(mov_hbm, df_hbm, g_hbm, out_ref, mbuf, dbuf,
 
     acc = jax.lax.fori_loop(
         0, taps, z_tap, tuple(jnp.zeros(shape, jnp.float32) for _ in range(3)))
-    out_ref[0] = jnp.stack([a * d for a, d in zip(acc, dscale)], axis=0)
+    return jnp.stack([a * d for a, d in zip(acc, dscale)], axis=0)
+
+
+def _warp_halo_dfgrad_zloop_kernel(mov_hbm, df_hbm, g_hbm, out_hbm, mbuf,
+                                   dbuf, gbuf, obuf, sem_m, sem_d, sem_g,
+                                   sem_o, *, bz: int, halo: int, spatial,
+                                   c: int, b_mov: int, nz: int):
+    """One grid step per df row, z-slab walk internal — the dfgrad
+    counterpart of `_warp_halo_zloop_kernel` (same motivation: amortize
+    the per-grid-step fixed overhead S0/bz-fold at unchanged VMEM)."""
+    b = pl.program_id(0)
+    S0, S1, S2 = spatial
+    taps = 2 * halo + 2
+
+    def body(zi, carry):
+        dma_m = pltpu.make_async_copy(
+            mov_hbm.at[jax.lax.rem(b, b_mov),
+                       :, pl.ds(zi * bz, bz + taps - 1)],
+            mbuf, sem_m)
+        dma_d = pltpu.make_async_copy(
+            df_hbm.at[b, :, pl.ds(zi * bz, bz)], dbuf, sem_d)
+        dma_g = pltpu.make_async_copy(
+            g_hbm.at[b, :, pl.ds(zi * bz, bz)], gbuf, sem_g)
+        dma_m.start()
+        dma_d.start()
+        dma_g.start()
+        dma_m.wait()
+        dma_d.wait()
+        dma_g.wait()
+        obuf[:, :, :S1, :S2] = _dfgrad_tap_accumulate(
+            mbuf, dbuf, gbuf, zi * bz, bz=bz, halo=halo, spatial=spatial,
+            c=c)
+        dma_o = pltpu.make_async_copy(
+            obuf, out_hbm.at[b, :, pl.ds(zi * bz, bz)], sem_o)
+        dma_o.start()
+        dma_o.wait()
+        return carry
+
+    jax.lax.fori_loop(0, nz, body, jnp.int32(0))
 
 
 def _warp_halo_dfgrad_pallas(moving: jnp.ndarray, df: jnp.ndarray,
@@ -389,6 +534,35 @@ def _warp_halo_dfgrad_pallas(moving: jnp.ndarray, df: jnp.ndarray,
                 break
             target //= 2
     bz = _pick_slab(S0, target=target)
+
+    if use_zloop():
+        s1o = _round_up(S1, 8)
+        s2o = _round_up(S2, 128)
+        kern = functools.partial(_warp_halo_dfgrad_zloop_kernel, bz=bz,
+                                 halo=halo, spatial=spatial, c=c, b_mov=b,
+                                 nz=S0 // bz)
+        out = pl.pallas_call(
+            kern,
+            grid=(b_df,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((b_df, 3, S0, s1o, s2o),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((c, bz + taps - 1, s1p, s2p), jnp.float32),
+                pltpu.VMEM((3, bz, s1d, s2d), jnp.float32),
+                pltpu.VMEM((c, bz, s1d, s2d), jnp.float32),
+                pltpu.VMEM((3, bz, s1o, s2o), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(mp, dp, gp)
+        return jnp.transpose(out[..., :S1, :S2], (0, 2, 3, 4, 1))
 
     kern = functools.partial(_warp_halo_dfgrad_kernel, bz=bz, halo=halo,
                              spatial=spatial, c=c, b_mov=b)

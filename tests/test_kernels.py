@@ -252,6 +252,29 @@ class TestWarpHalo:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("halo", [2, 3])
+    def test_zloop_structure_bit_exact(self, halo, monkeypatch):
+        """The internal-z-loop kernel structure (grid over rows, z-slab
+        walk in-kernel with manual output DMA) must be bit-identical to
+        the per-slab-grid structure for forward AND df-cotangent: same
+        tap math via the shared accumulate helpers."""
+        from pulpo_tpu.kernels.warp_halo import (
+            _warp_halo_pallas, _warp_halo_dfgrad_pallas)
+
+        mov = self._field((2, 12, 10, 14, 2), 1.0, seed=7)
+        df = self._field((4, 12, 10, 14, 3), 1.2, seed=8)
+        g = self._field((4, 12, 10, 14, 2), 1.0, seed=9)
+
+        monkeypatch.setenv("PULPO_WARP_ZLOOP", "0")
+        f0 = _warp_halo_pallas(mov, df, halo, interpret=True)
+        d0 = _warp_halo_dfgrad_pallas(mov, df, g, halo, interpret=True)
+        monkeypatch.setenv("PULPO_WARP_ZLOOP", "1")
+        f1 = _warp_halo_pallas(mov, df, halo, interpret=True)
+        d1 = _warp_halo_dfgrad_pallas(mov, df, g, halo, interpret=True)
+
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f0))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+
     def test_guard_rejects_oversized_displacement(self):
         from pulpo_tpu.kernels.warp_halo import halo_bound_ok
 
