@@ -323,11 +323,38 @@ class Autoencoder(nn.Module):
                     for ts in runs
                 ]
                 fb = resized[0] if len(resized) == 1 else jnp.concatenate(resized, axis=-1)
-                fb = self.up_blocks[str(l)](fb, train=train)
-                mus[l], sigmas[l] = self.encoders[str(l)](
-                    down_activations[k], fb, train,
-                    y2=None if pair_pre is None else pair_pre["merge_y2"][l],
+                # fused whole-posterior-head MXU kernel (kernels/
+                # pos_head.py): up_block + split merge + mu/sigma heads
+                # in one Pallas call with 3-channel seams. Eval only
+                # (BN running stats); opt-in via PULPO_FUSED_POSTHEAD
+                # until the composed flagship A/B lands.
+                from pulpo_tpu.kernels.pos_head import (
+                    pos_head_mode,
+                    posterior_head,
                 )
+
+                mode = (
+                    None
+                    if train or self.is_initializing()
+                    or "batch_stats" not in self.variables
+                    else pos_head_mode(fb, cfg.n0 * cfg.zdim,
+                                       cfg.num_channels[k], cfg.zdim)
+                )
+                if mode:
+                    y2 = (pair_pre["merge_y2"][l] if pair_pre is not None
+                          else self.encoders[str(l)](
+                              down_activations[k], train=train,
+                              act_half=True))
+                    dt = self.dtype or fb.dtype
+                    mus[l], sigmas[l] = posterior_head(
+                        fb.astype(dt), y2, self._pos_head_params(l),
+                        mode == "interp")
+                else:
+                    fb = self.up_blocks[str(l)](fb, train=train)
+                    mus[l], sigmas[l] = self.encoders[str(l)](
+                        down_activations[k], fb, train,
+                        y2=None if pair_pre is None else pair_pre["merge_y2"][l],
+                    )
                 parent_combined = combined_dfs[l + 1]
 
             if deterministic:
@@ -354,6 +381,40 @@ class Autoencoder(nn.Module):
             mus, sigmas, samples, velocity_fields,
             individual_dfs, combined_dfs, final_dfs, transformed,
         )
+
+    def _pos_head_params(self, l: int) -> dict:
+        """Parameter dict for kernels/pos_head.posterior_head, read
+        straight from this module's bound variables (the flax children
+        are only executed on the XLA path — and at init, which creates
+        them). mk1 is the feedback half of the split merge kernel
+        (models/blocks._RawConv: x = feedback comes first)."""
+        cfg = self.cfg
+        k = l + cfg.lk_offset
+        v = self.variables
+        pp, bs = v["params"], v["batch_stats"]
+
+        def unit(tree, btree, pre, n):
+            cu = tree[f"ConvUnit_{n - 1}"]
+            cv = cu["TorchConv_0"]["Conv_0"]
+            bn = cu["BatchNorm_0"]
+            b = btree[f"ConvUnit_{n - 1}"]["BatchNorm_0"]
+            return {f"{pre}k{n}": cv["kernel"], f"{pre}b{n}": cv["bias"],
+                    f"{pre}mean{n}": b["mean"], f"{pre}var{n}": b["var"],
+                    f"{pre}scale{n}": bn["scale"],
+                    f"{pre}bias{n}": bn["bias"]}
+
+        up, bup = pp[f"up_block_{k}"], bs[f"up_block_{k}"]
+        enc, benc = pp[f"encoder_{l}"], bs[f"encoder_{l}"]
+        mg, bmg = enc["sample_merge_block"], benc["sample_merge_block"]
+        p = {**unit(up, bup, "u", 1), **unit(up, bup, "u", 2),
+             **unit(mg, bmg, "m", 1), **unit(mg, bmg, "m", 2)}
+        p["mk1"] = p["mk1"][..., :cfg.n0 * cfg.zdim, :]
+        ms = enc["mu_sigma"]
+        p["hkmu"] = ms["conv_mu"]["Conv_0"]["kernel"]
+        p["hbmu"] = ms["conv_mu"]["Conv_0"]["bias"]
+        p["hksig"] = ms["conv_sigma"]["Conv_0"]["kernel"]
+        p["hbsig"] = ms["conv_sigma"]["Conv_0"]["bias"]
+        return p
 
     def precompute_pair(self, down_activations: LevelDict,
                         train: bool = False) -> dict:

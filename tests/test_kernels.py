@@ -778,3 +778,199 @@ class TestVelHeadFused:
         ref = vf.apply(variables, z, False)
         got = velocity_head_xla(z, p)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+class TestPosHeadFused:
+    """posterior_head (fused whole-posterior-head MXU kernel,
+    kernels/pos_head.py): forward must match the flax/XLA eval
+    composition (up_block + split merge + mu/sigma heads) up to f32
+    summation order; the per-pair y2 half must broadcast across folded
+    samples exactly like models/blocks._RawConv; VJP is defined AS the
+    XLA composition vjp; the Autoencoder routing
+    (PULPO_FUSED_POSTHEAD=interp hook) must be output-equivalent to the
+    unfused module."""
+
+    def _params(self, key, c_fb=5, n_up=8, n_merge=8, zd=3):
+        import jax
+        import jax.numpy as jnp
+
+        ks = jax.random.split(key, 40)
+        it = iter(range(40))
+        r = lambda shape, s=1.0: jax.random.normal(ks[next(it)], shape) * s
+
+        def unit(pre, n, kshape, cout):
+            return {
+                f"{pre}k{n}": r(kshape, 0.2),
+                f"{pre}b{n}": r((cout,), 0.1),
+                f"{pre}mean{n}": r((cout,), 0.3),
+                f"{pre}var{n}": jax.nn.softplus(r((cout,))) + 0.1,
+                f"{pre}scale{n}": r((cout,)) + 1.0,
+                f"{pre}bias{n}": r((cout,), 0.2),
+            }
+
+        p = {}
+        p.update(unit("u", 1, (3, 3, 3, c_fb, n_up), n_up))
+        p.update(unit("u", 2, (3, 3, 3, n_up, n_up), n_up))
+        p.update(unit("m", 1, (3, 3, 3, n_up, n_merge), n_merge))
+        p.update(unit("m", 2, (3, 3, 3, n_merge, n_merge), n_merge))
+        p["hkmu"] = r((1, 1, 1, n_merge, zd), 0.5)
+        p["hbmu"] = r((zd,), 0.1)
+        p["hksig"] = r((1, 1, 1, n_merge, zd), 0.5)
+        p["hbsig"] = r((zd,), 0.1)
+        return p
+
+    def test_forward_matches_xla_f32(self):
+        import jax
+        import numpy as np
+
+        from pulpo_tpu.kernels.pos_head import (
+            posterior_head_fused,
+            posterior_head_xla,
+        )
+
+        key = jax.random.key(31)
+        p = self._params(key)
+        # S0 edge planes (warmup zero-plane logic), S2 < WP lane
+        # masking, and ring carry-over across z-octets (S0 = 16 -> two
+        # grid steps) are all exercised by the full-tensor comparison
+        fb = jax.random.normal(jax.random.fold_in(key, 1), (2, 16, 10, 12, 5))
+        y2 = jax.random.normal(jax.random.fold_in(key, 2), (2, 16, 10, 12, 8))
+        mu_f, sg_f = posterior_head_fused(fb, y2, p, interpret=True)
+        mu_r, sg_r = posterior_head_xla(fb, y2, p)
+        scale = float(np.abs(np.asarray(mu_r)).max())
+        np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_r),
+                                   rtol=0, atol=3e-6 * scale)
+        np.testing.assert_allclose(np.asarray(sg_f), np.asarray(sg_r),
+                                   rtol=0, atol=3e-6 * scale)
+
+    def test_pair_broadcast_matches_split_semantics(self):
+        import jax
+        import numpy as np
+
+        from pulpo_tpu.kernels.pos_head import (
+            posterior_head_fused,
+            posterior_head_xla,
+        )
+
+        key = jax.random.key(32)
+        p = self._params(key)
+        # R = 4 sample-major rows over B = 2 pairs: row r reads y2[r % B]
+        fb = jax.random.normal(jax.random.fold_in(key, 1), (4, 16, 10, 12, 5))
+        y2 = jax.random.normal(jax.random.fold_in(key, 2), (2, 16, 10, 12, 8))
+        mu_f, sg_f = posterior_head_fused(fb, y2, p, interpret=True)
+        mu_r, sg_r = posterior_head_xla(fb, y2, p)
+        scale = float(np.abs(np.asarray(mu_r)).max())
+        np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_r),
+                                   rtol=0, atol=3e-6 * scale)
+        np.testing.assert_allclose(np.asarray(sg_f), np.asarray(sg_r),
+                                   rtol=0, atol=3e-6 * scale)
+
+    def test_forward_matches_xla_bf16(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pulpo_tpu.kernels.pos_head import (
+            posterior_head_fused,
+            posterior_head_xla,
+        )
+
+        key = jax.random.key(33)
+        p = self._params(key, n_up=16, n_merge=16)
+        fb = jax.random.normal(
+            jax.random.fold_in(key, 1), (2, 8, 20, 24, 5), jnp.bfloat16)
+        y2 = jax.random.normal(
+            jax.random.fold_in(key, 2), (1, 8, 20, 24, 16), jnp.bfloat16)
+        mu_f, sg_f = posterior_head_fused(fb, y2, p, interpret=True)
+        assert mu_f.dtype == jnp.bfloat16 and sg_f.dtype == jnp.bfloat16
+        mu_r, sg_r = posterior_head_xla(fb, y2, p)
+        for a, b in ((mu_f, mu_r), (sg_f, sg_r)):
+            err = np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))
+            assert err.max() < 0.05 * np.abs(np.asarray(b, np.float32)).max()
+
+    def test_vjp_is_xla_composition(self):
+        import jax
+        import numpy as np
+
+        from pulpo_tpu.kernels.pos_head import posterior_head, posterior_head_xla
+
+        key = jax.random.key(34)
+        p = self._params(key)
+        fb = jax.random.normal(jax.random.fold_in(key, 1), (2, 8, 10, 12, 5))
+        y2 = jax.random.normal(jax.random.fold_in(key, 2), (1, 8, 10, 12, 8))
+        out_f, vjp_f = jax.vjp(lambda a, b, q: posterior_head(a, b, q, True),
+                               fb, y2, p)
+        out_r, vjp_r = jax.vjp(posterior_head_xla, fb, y2, p)
+        g = jax.tree.map(
+            lambda a: jax.random.normal(jax.random.fold_in(key, 3), a.shape),
+            out_r)
+        scale = float(np.abs(np.asarray(out_r[0])).max())
+        np.testing.assert_allclose(np.asarray(out_f[0]), np.asarray(out_r[0]),
+                                   rtol=0, atol=3e-6 * scale)
+        gf = vjp_f(g)
+        gr = vjp_r(g)
+        for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_autoencoder_routing_matches_unfused(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pulpo_tpu.config import PULPoConfig
+        from pulpo_tpu.models.api import PULPoModel
+        from pulpo_tpu.models.pulpo import PULPoModule
+
+        # l0 latent size (32, 32, 64): vol 65536 >= 32768, S0 % 8 == 0,
+        # S2 + 2 <= 128 -> the guard admits exactly level 0
+        cfg = PULPoConfig(input_size=(64, 64, 128), total_levels=3,
+                          latent_levels=2, n0=8, dataset="synthetic")
+        model = PULPoModel(cfg)
+        variables = model.init(jax.random.key(40))
+        # nontrivial running stats (init leaves mean=0/var=1)
+        k = [0]
+
+        def perturb(path, a):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if name not in ("mean", "var"):
+                return a
+            k[0] += 1
+            v = jax.random.normal(jax.random.fold_in(jax.random.key(41), k[0]),
+                                  a.shape) * 0.3
+            return jax.nn.softplus(v) + 0.2 if name == "var" else v
+
+        variables = dict(variables)
+        variables["batch_stats"] = jax.tree_util.tree_map_with_path(
+            perturb, variables["batch_stats"])
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.random((1, *cfg.input_size, 1), dtype=np.float32))
+        y = jnp.asarray(rng.random((1, *cfg.input_size, 1), dtype=np.float32))
+        acts = model.module.apply(variables, x, y, train=False,
+                                  method=PULPoModule.encode)
+        keys = jax.random.split(jax.random.key(42), 2)
+
+        def decode():
+            return model.module.apply(
+                variables, x, acts, False, False,
+                method=PULPoModule.decode, n_samples=2, sample_keys=keys)
+
+        monkeypatch.setenv("PULPO_FUSED_POSTHEAD", "0")
+        ref = decode()
+        monkeypatch.setenv("PULPO_FUSED_POSTHEAD", "interp")
+        got = decode()
+        # mus/sigmas at the fused level: tight; downstream leaves
+        # (integration + warps amplify) : loose but relative
+        mu_scale = float(np.abs(np.asarray(ref[0][0])).max())
+        np.testing.assert_allclose(np.asarray(got[0][0]), np.asarray(ref[0][0]),
+                                   rtol=0, atol=1e-5 * mu_scale)
+        np.testing.assert_allclose(np.asarray(got[1][0]), np.asarray(ref[1][0]),
+                                   rtol=0, atol=1e-5 * mu_scale)
+        for gd, rd in zip(got[2:], ref[2:]):
+            for l in rd:
+                a, b = np.asarray(gd[l]), np.asarray(rd[l])
+                sc = max(np.abs(b).max(), 1e-6)
+                np.testing.assert_allclose(a, b, rtol=0, atol=1e-4 * sc)
+        # coarsest level (guard rejects it) must be bit-identical
+        np.testing.assert_array_equal(np.asarray(got[0][1]),
+                                      np.asarray(ref[0][1]))
