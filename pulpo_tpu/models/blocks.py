@@ -213,6 +213,35 @@ class ConvSequence(nn.Module):
         if act_half:
             return ConvUnit(self.features, self.dtype, self.bn_axis_name)(
                 x, train, x2_features=x2_features, act_half=True)
+        # fused plain-chain Pallas kernel (kernels/conv_chain.py): the
+        # whole eval ConvSequence in one MXU call — targets the full-res
+        # narrow-input down_block_0 whose XLA convs run at 1.6-9.7 TF/s
+        # (PERF.md). Eval only (BN running stats), plain calls only;
+        # opt-in via PULPO_FUSED_CONVSEQ pending the composed A/B.
+        if (x2 is None and y2 is None and not train
+                and not self.is_initializing()
+                and "batch_stats" in self.variables):
+            from pulpo_tpu.kernels.conv_chain import conv_chain, conv_chain_mode
+
+            mode = conv_chain_mode(x, self.features, self.depth)
+            if mode:
+                pp = self.variables["params"]
+                bs = self.variables["batch_stats"]
+                stages = []
+                for i in range(self.depth):
+                    cu = pp[f"ConvUnit_{i}"]
+                    cv = cu["TorchConv_0"]["Conv_0"]
+                    bn = cu["BatchNorm_0"]
+                    b = bs[f"ConvUnit_{i}"]["BatchNorm_0"]
+                    stages.append({
+                        "k": cv["kernel"], "b": cv["bias"],
+                        "mean": b["mean"], "var": b["var"],
+                        "scale": bn["scale"], "bias": bn["bias"],
+                    })
+                dt = self.dtype or jnp.result_type(
+                    x.dtype, stages[0]["k"].dtype)
+                return conv_chain(x.astype(dt), stages, mode[1],
+                                  mode[0] == "interp")
         for i in range(self.depth):
             x = ConvUnit(self.features, self.dtype, self.bn_axis_name)(
                 x, train, x2 if i == 0 else None,

@@ -974,3 +974,125 @@ class TestPosHeadFused:
         # coarsest level (guard rejects it) must be bit-identical
         np.testing.assert_array_equal(np.asarray(got[0][1]),
                                       np.asarray(ref[0][1]))
+
+
+class TestConvChainFused:
+    """conv_chain (fused plain ConvSequence kernel, kernels/
+    conv_chain.py): forward must match the flax/XLA eval composition at
+    every supported depth and at both WP legs (128 / 256); VJP is the
+    XLA composition vjp; ConvSequence routing
+    (PULPO_FUSED_CONVSEQ=interp) must be output-equivalent."""
+
+    def _stages(self, key, widths):
+        import jax
+
+        out = []
+        for i in range(len(widths) - 1):
+            ks = jax.random.split(jax.random.fold_in(key, i), 6)
+            cin, cout = widths[i], widths[i + 1]
+            out.append({
+                "k": jax.random.normal(ks[0], (3, 3, 3, cin, cout)) * 0.25,
+                "b": jax.random.normal(ks[1], (cout,)) * 0.1,
+                "mean": jax.random.normal(ks[2], (cout,)) * 0.3,
+                "var": jax.nn.softplus(jax.random.normal(ks[3], (cout,))) + 0.1,
+                "scale": jax.random.normal(ks[4], (cout,)) + 1.0,
+                "bias": jax.random.normal(ks[5], (cout,)) * 0.2,
+            })
+        return out
+
+    @pytest.mark.parametrize("widths,shape,wp", [
+        ((2, 8, 8, 8), (16, 10, 12), 128),   # D=3, down_block_0 shape
+        ((3, 8, 8), (16, 10, 12), 128),      # D=2
+        ((2, 8, 8, 8), (8, 6, 130), 256),    # full-res WP leg
+    ])
+    def test_forward_matches_xla_f32(self, widths, shape, wp):
+        import jax
+        import numpy as np
+
+        from pulpo_tpu.kernels.conv_chain import (
+            conv_chain_fused,
+            conv_chain_xla,
+        )
+
+        key = jax.random.key(51)
+        st = self._stages(key, widths)
+        x = jax.random.normal(jax.random.fold_in(key, 9),
+                              (2, *shape, widths[0]))
+        got = conv_chain_fused(x, st, wp=wp, interpret=True)
+        ref = conv_chain_xla(x, st)
+        scale = float(np.abs(np.asarray(ref)).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=3e-6 * scale)
+
+    def test_forward_matches_xla_bf16(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pulpo_tpu.kernels.conv_chain import (
+            conv_chain_fused,
+            conv_chain_xla,
+        )
+
+        key = jax.random.key(52)
+        st = self._stages(key, (2, 16, 16, 16))
+        x = jax.random.normal(jax.random.fold_in(key, 9), (2, 8, 10, 12, 2),
+                              jnp.bfloat16)
+        got = conv_chain_fused(x, st, interpret=True)
+        assert got.dtype == jnp.bfloat16
+        ref = conv_chain_xla(x, st)
+        err = np.abs(np.asarray(got, np.float32) - np.asarray(ref, np.float32))
+        assert err.max() < 0.05 * np.abs(np.asarray(ref, np.float32)).max()
+
+    def test_vjp_is_xla_composition(self):
+        import jax
+        import numpy as np
+
+        from pulpo_tpu.kernels.conv_chain import conv_chain, conv_chain_xla
+
+        key = jax.random.key(53)
+        st = self._stages(key, (2, 8, 8))
+        x = jax.random.normal(jax.random.fold_in(key, 9), (1, 8, 10, 12, 2))
+        out_f, vjp_f = jax.vjp(lambda a, s: conv_chain(a, s, 128, True), x, st)
+        out_r, vjp_r = jax.vjp(conv_chain_xla, x, st)
+        g = jax.random.normal(jax.random.fold_in(key, 10), out_r.shape)
+        scale = float(np.abs(np.asarray(out_r)).max())
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                                   rtol=0, atol=3e-6 * scale)
+        for a, b in zip(jax.tree.leaves(vjp_f(g)), jax.tree.leaves(vjp_r(g))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_convsequence_routing_matches_unfused(self, monkeypatch):
+        import jax
+        import numpy as np
+
+        from pulpo_tpu.models.blocks import ConvSequence
+
+        cs = ConvSequence(features=8, depth=3)
+        # guard: vol >= 32768, S0 % 8 == 0, S2 + 2 <= 128, cin <= 8
+        x = jax.random.normal(jax.random.key(54), (1, 16, 48, 56, 2))
+        variables = cs.init({"params": jax.random.key(55)}, x, True)
+        bs = variables["batch_stats"]
+        k = [0]
+
+        def perturb(path, a):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            k[0] += 1
+            v = jax.random.normal(
+                jax.random.fold_in(jax.random.key(56), k[0]), a.shape) * 0.3
+            return jax.nn.softplus(v) + 0.2 if name == "var" else v
+
+        bs = jax.tree_util.tree_map_with_path(perturb, bs)
+        variables = {"params": variables["params"], "batch_stats": bs}
+
+        monkeypatch.setenv("PULPO_FUSED_CONVSEQ", "0")
+        ref = cs.apply(variables, x, False)
+        monkeypatch.setenv("PULPO_FUSED_CONVSEQ", "interp")
+        got = cs.apply(variables, x, False)
+        scale = float(np.abs(np.asarray(ref)).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-5 * scale)
+        # train=True must stay on the unfused path (batch-stat BN)
+        got_t = cs.apply(variables, x, True, mutable=["batch_stats"])[0]
+        ref_t = cs.apply(variables, x, True, mutable=["batch_stats"])[0]
+        np.testing.assert_array_equal(np.asarray(got_t), np.asarray(ref_t))
