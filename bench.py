@@ -241,22 +241,24 @@ def _main_inner():
 
 def main():
     _enable_compile_cache()
-    # The axon relay occasionally restarts (measured round 3: a ~1h
-    # window where even backend init hung). A transient transport
-    # failure should not void the round's benchmark — retry a couple of
-    # times with a backoff before giving up.
-    for attempt in range(3):
+    # The axon relay occasionally restarts (measured round 3: outage
+    # windows from ~1h to several hours where even backend init hung or
+    # raised UNAVAILABLE). A transient transport failure should not void
+    # the round's benchmark — retry with a backoff (~20 min of patience
+    # total) before giving up.
+    attempts = int(os.environ.get("PULPO_BENCH_RELAY_RETRIES", "6"))
+    for attempt in range(attempts):
         try:
             return _main_inner()
         except Exception as e:  # noqa: BLE001 - relay errors vary by layer
             transient = any(s in str(e) for s in (
                 "Connection refused", "Connection Failed", "UNAVAILABLE",
                 "transport", "crashed or restarted"))
-            if not transient or attempt == 2:
+            if not transient or attempt == attempts - 1:
                 raise
-            print(f"# relay error (attempt {attempt + 1}), retrying in 120s: "
+            print(f"# relay error (attempt {attempt + 1}), retrying in 240s: "
                   f"{str(e)[:200]}", file=sys.stderr, flush=True)
-            time.sleep(120)
+            time.sleep(240)
 
 
 if __name__ == "__main__":
