@@ -95,6 +95,11 @@ def _make_model(input_size, batch_size: int = 1):
         batch_size=batch_size,
         compute_dtype=os.environ.get("PULPO_BENCH_DTYPE", "bfloat16"),
         remat=bool(os.environ.get("PULPO_BENCH_REMAT")),
+        # e.g. "0" or "0,1": remat just these DownPath blocks (the
+        # full-res training batch-ceiling lever, config.py remat_down)
+        remat_down=tuple(
+            int(k) for k in
+            os.environ.get("PULPO_BENCH_REMAT_DOWN", "").split(",") if k),
         dataset="oasis",
     )
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None

@@ -97,6 +97,14 @@ class PULPoConfig:
     compute_dtype: str = "float32"  # "bfloat16" for mixed precision
     use_pallas: bool = True  # Pallas kernels where available, XLA fallback
     remat: bool = False  # jax.checkpoint the per-level decode
+    # remat ONLY these DownPath blocks (global level indices): the
+    # targeted alternative to `remat` for full-res training, where the
+    # saved down_block_0 activations dominate HBM (~5 GB/pair bf16) but
+    # global remat is WORSE (the rematted decode's saved inputs coexist
+    # with its recompute temps under the Pallas custom calls, PERF.md).
+    # Block 0 is pure conv/BN/LReLU — no Pallas — so rematting just it
+    # trades ~0.1 s of recompute for the batch ceiling.
+    remat_down: tuple[int, ...] = ()
     debug_nans: bool = False  # jax_debug_nans (analog of the reference's
     # always-on torch.autograd.set_detect_anomaly, models.py:50)
 
@@ -113,6 +121,8 @@ class PULPoConfig:
         object.__setattr__(self, "input_size", tuple(int(s) for s in self.input_size))
         object.__setattr__(self, "feedback", normalize_feedback(self.feedback))
         object.__setattr__(self, "recon_loss", tuple(self.recon_loss))
+        object.__setattr__(
+            self, "remat_down", tuple(int(k) for k in self.remat_down))
         if self.df_resolution not in ("level_res", "full_res"):
             raise ValueError(f"df_resolution={self.df_resolution!r} not a known option.")
         if self.regularizer not in ("L2", "jdet"):

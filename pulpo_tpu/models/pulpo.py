@@ -53,12 +53,18 @@ class DownPath(nn.Module):
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray, train: bool = True) -> LevelDict:
         cfg = self.cfg
         # static_argnums count self: (self, x, train) -> train is 2
-        seq_cls = nn.remat(ConvSequence, static_argnums=(2,)) if cfg.remat else ConvSequence
+        remat_seq = nn.remat(ConvSequence, static_argnums=(2,))
         h = jnp.concatenate([x, y], axis=-1)
         acts: LevelDict = {}
         for k in range(cfg.total_levels):
             if k > 0:
                 h = avg_pool_ceil(h)
+            # cfg.remat_down: recompute this block in the backward
+            # instead of saving its conv/BN/LReLU activations — at full
+            # res block 0's saved set (~5 GB/pair bf16) is what caps the
+            # training batch size (config.py remat_down note)
+            seq_cls = remat_seq if (cfg.remat or k in cfg.remat_down) \
+                else ConvSequence
             h = seq_cls(
                 cfg.num_channels[k], depth=3, dtype=self.dtype,
                 bn_axis_name=self.bn_axis_name, name=f"down_block_{k}",

@@ -183,3 +183,40 @@ def test_remat_train_step():
     step = jax.jit(make_train_step(model, tx))
     _, metrics = step(state, make_batch(cfg))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_remat_down_matches_baseline_grads():
+    """remat_down recomputes the flagged DownPath block in the backward;
+    params, loss AND gradients must be identical to the unrematted step
+    (same ops, just re-executed). config.py remat_down."""
+    from pulpo_tpu.train.step import compute_losses
+
+    def grads(cfg):
+        model = PULPoModel(cfg)
+        state, _ = create_train_state(model, seed=0)
+        batch = make_batch(cfg)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            outs, _ = model.apply_train(
+                variables, batch["x"], batch["y"], jax.random.key(3))
+            total, _ = compute_losses(
+                cfg, outs, batch["x"], batch["y"], None, None)
+            return total
+
+        return jax.jit(jax.value_and_grad(loss_fn))(state.params)
+
+    l0, g0 = grads(tiny_cfg())
+    l1, g1 = grads(tiny_cfg(remat_down=(0, 1)))
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_config_remat_down_roundtrip():
+    cfg = tiny_cfg(remat_down=[0])
+    assert cfg.remat_down == (0,)
+    from pulpo_tpu.config import PULPoConfig
+
+    cfg2 = PULPoConfig.from_json(cfg.to_json())
+    assert cfg2.remat_down == (0,)
