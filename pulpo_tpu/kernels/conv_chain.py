@@ -93,8 +93,10 @@ def _kernel(x_hbm, *refs, spatial, widths, wp: int):
         a3 = a.reshape(n, S1, wp)
         a3 = jnp.where(jnp.logical_and(lane_ok[None], valid), a3,
                        jnp.zeros((), dt))
+        # hardware Mosaic implements tpu.dynamic_rotate only for 32-bit
+        # lanes: roll in f32 and round back (exact for bf16 values)
         ring[slot, :, wp:wp + flat] = pltpu.roll(
-            a3.reshape(n, flat), 1, axis=1)
+            a3.reshape(n, flat).astype(jnp.float32), 1, axis=1).astype(dt)
 
     def epilogue(acc, i):
         a = acc.astype(dt) + bs[i][0][:, None].astype(dt)
@@ -203,7 +205,9 @@ def conv_chain_fused(x: jnp.ndarray, stages: list[dict], wp: int = 128,
         w_ops.append(jnp.transpose(
             stages[i]["k"].astype(dt).reshape(27, widths[i], widths[i + 1]),
             (0, 2, 1)))
-    b_ops = [s["b"].astype(dt)[None] for s in stages]
+    # f32 rows, values pre-rounded to dt (hardware Mosaic rejects the
+    # in-kernel (n,) -> (n, 1) reshape for non-32-bit types)
+    b_ops = [s["b"].astype(dt).astype(jnp.float32)[None] for s in stages]
     eps = jnp.float32(1e-5)
     bn_ops = [
         jnp.stack([

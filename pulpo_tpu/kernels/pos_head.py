@@ -123,8 +123,10 @@ def _kernel(x_hbm, y2_hbm, w1_ref, w2_ref, w3_ref, w4_ref, wh_ref,
         a3 = a.reshape(n, S1, WP)
         a3 = jnp.where(jnp.logical_and(lane_ok[None], valid), a3,
                        jnp.zeros((), dt))
+        # hardware Mosaic implements tpu.dynamic_rotate only for 32-bit
+        # lanes: roll in f32 and round back (exact for bf16 values)
         ring[slot, :, WP:WP + flat] = pltpu.roll(
-            a3.reshape(n, flat), 1, axis=1)
+            a3.reshape(n, flat).astype(jnp.float32), 1, axis=1).astype(dt)
 
     def bn_act(a, bn_ref, row0: int):
         y = ((a.astype(jnp.float32) - bn_ref[row0][:, None])
@@ -288,8 +290,13 @@ def posterior_head_fused(fb: jnp.ndarray, y2: jnp.ndarray, p: dict,
         p["hkmu"].astype(dt).reshape(n_merge, zd).T,
         p["hksig"].astype(dt).reshape(n_merge, zd).T,
     ])
-    bu = jnp.stack([p["ub1"].astype(dt), p["ub2"].astype(dt)])
-    bm = jnp.stack([p["mb1"].astype(dt), p["mb2"].astype(dt)])
+    # bias rows ride as f32 (values pre-rounded to dt; the in-kernel
+    # .astype(dt) recovers the exact XLA bias): hardware Mosaic rejects
+    # the (n,) -> (n, 1) minor-dim reshape for non-32-bit types
+    bu = jnp.stack([p["ub1"].astype(dt),
+                    p["ub2"].astype(dt)]).astype(jnp.float32)
+    bm = jnp.stack([p["mb1"].astype(dt),
+                    p["mb2"].astype(dt)]).astype(jnp.float32)
     bh = jnp.concatenate(
         [p["hbmu"].astype(dt), p["hbsig"].astype(dt)])[:, None]
     eps = jnp.float32(1e-5)

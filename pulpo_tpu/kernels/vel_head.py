@@ -140,8 +140,11 @@ def _kernel(x_hbm, w1_ref, w2_ref, w3_ref, bb_ref, bn_ref, out_hbm,
                        jnp.zeros((), dt))
         # roll right 1 lane: interior x lands at lane x+1 (the ghosted
         # flat convention); the wrapped-in lane is a masked-zero ghost
+        # hardware Mosaic implements tpu.dynamic_rotate only for 32-bit
+        # lanes: roll in f32 and round back (exact — bf16 -> f32 -> bf16
+        # is the identity on bf16 values)
         ring[(j + 1) % 3, :, WP:WP + flat] = pltpu.roll(
-            a3.reshape(n0, flat), 1, axis=1)
+            a3.reshape(n0, flat).astype(jnp.float32), 1, axis=1).astype(dt)
 
     def conv2_slice(k: int):
         """conv2 + epilogue + 1x1 head for out slice zi*BZ + k; conv1
@@ -205,11 +208,15 @@ def velocity_head_fused(z: jnp.ndarray, p: dict,
     w1 = p["k1"].astype(dt).reshape(27 * zdim, n0)
     w2 = jnp.transpose(p["k2"].astype(dt).reshape(27, n0, n0), (0, 2, 1))
     w3 = p["k3"].astype(dt).reshape(n0, ndims).T
+    # biases ride as f32 rows (values pre-rounded to dt, so the
+    # in-kernel .astype(dt) recovers the exact XLA bias): hardware
+    # Mosaic rejects the (n,) -> (n, 1) minor-dim reshape for non-32-bit
+    # types, so the [:, None] must happen on an f32 vector
     bb = jnp.stack([
         p["b1"].astype(dt),
         p["b2"].astype(dt),
         jnp.pad(p["b3"].astype(dt), (0, n0 - ndims)),
-    ])
+    ]).astype(jnp.float32)
     eps = jnp.float32(1e-5)
 
     def aff(m, v, s, b):
