@@ -240,6 +240,20 @@ def _main_inner():
             "vs_baseline": round(pps / BASELINE_PAIRS_PER_SEC, 4)
             if not proxy else None,
         }
+        # The reference's actual hot loop is the TRAINING step
+        # (src/models.py:134-196, train.py:106-116); ride the train
+        # number in the SAME JSON line so the driver-captured artifact
+        # records both (a second line would race the driver's parser).
+        # Full-res training OOMs past B=1 (PERF.md), hence batch 1.
+        if not small and not proxy and \
+                os.environ.get("PULPO_BENCH_TRAIN", "1") != "0":
+            try:
+                sps = bench_train(input_size, 1, iters)
+                result["train_metric"] = f"oasis_{res_tag}_train_pairs_per_sec"
+                result["train_value"] = round(sps, 4)
+                result["train_unit"] = "pairs/s"
+            except Exception as e:  # noqa: BLE001 - UQ headline survives
+                result["train_error"] = str(e)[:200]
     print(json.dumps(result))
     return result
 

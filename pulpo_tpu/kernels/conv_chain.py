@@ -49,8 +49,8 @@ ZSLAB = 16
 NRING = 4
 
 
-def _leaky(x, dt):
-    return jnp.where(x >= 0, x, jnp.asarray(0.2, dt) * x)
+from pulpo_tpu.kernels.activations import leaky as _leaky
+from pulpo_tpu.kernels.activations import leaky_from_f32 as _leaky_f32
 
 
 def _kernel(x_hbm, *refs, spatial, widths, wp: int):
@@ -102,7 +102,7 @@ def _kernel(x_hbm, *refs, spatial, widths, wp: int):
         a = acc.astype(dt) + bs[i][0][:, None].astype(dt)
         y = ((a.astype(jnp.float32) - bns[i][0][:, None])
              * bns[i][1][:, None] + bns[i][2][:, None])
-        return _leaky(y.astype(dt), dt)
+        return _leaky_f32(y, dt)
 
     c0 = widths[0]
 
@@ -240,6 +240,10 @@ def conv_chain_fused(x: jnp.ndarray, stages: list[dict], wp: int = 128,
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # lift the 16M scoped-VMEM default (compiler default, not
+        # physical; same rationale as pos_head.py)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xf, *w_ops, *b_ops, *bn_ops)
     return jnp.transpose(out[..., :S2], (0, 2, 3, 4, 1))

@@ -12,7 +12,7 @@ Together 0.97 of the 1.371 TFLOP/sample (PERF.md FLOP recount), measured
 composed at only 34-45 TF/s on v5e against a 77 TF/s per-shape XLA
 ceiling — the gap is layout staging between the ops. Per the round-3
 composition rule (isolated wins lose composed when the custom-call seam
-sits on a wide tensor: kernels/conv_narrow.py was 1.8x isolated and
+sits on a wide tensor: attic/conv_narrow.py was 1.8x isolated and
 -2.9% composed), this kernel fuses the ENTIRE head so both seams are
 thin: input = the c_fb(~16)-channel resized feedback stack, outputs =
 mu and sigma (zdim=3 channels each). Every 96/64/128-channel
@@ -75,8 +75,9 @@ GHOST = 4  # front z ghost: the 4-conv pipeline leads the output by 3
 NRING = 4  # ring slots per stage; BZ % NRING == 0 -> static slot ids
 
 
-def _leaky(x, dt):
-    return jnp.where(x >= 0, x, jnp.asarray(0.2, dt) * x)
+from pulpo_tpu.kernels.activations import leaky as _leaky
+from pulpo_tpu.kernels.activations import leaky_from_f32 as _leaky_f32
+from pulpo_tpu.kernels.activations import softplus_dt as _softplus_dt
 
 
 def _kernel(x_hbm, y2_hbm, w1_ref, w2_ref, w3_ref, w4_ref, wh_ref,
@@ -93,8 +94,11 @@ def _kernel(x_hbm, y2_hbm, w1_ref, w2_ref, w3_ref, w4_ref, wh_ref,
     zero slice (safe target for masked-out reads).
     w1_ref: (27 * c_fb, n_up) dt. w2/w3/w4_ref: (27, out, in) dt with
     w[tap] = kernel[tap].T. wh_ref: (2*zd, n_merge) dt (mu rows then
-    sigma rows). bu_ref: (2, n_up) dt (conv1/conv2 biases); bm_ref:
-    (2, n_merge); bh_ref: (2*zd, 1) dt. bnu_ref/bnm_ref: (6, n/f32) —
+    sigma rows). bu_ref: (2, n_up) f32, values pre-rounded to dt
+    (conv1/conv2 biases; the in-kernel .astype(dt) recovers the exact
+    XLA bias — hardware Mosaic rejects non-32-bit minor-dim reshapes);
+    bm_ref: (2, n_merge) f32 likewise; bh_ref: (2*zd, 1) dt (2D with a
+    32-bit-safe layout, so it stays dt). bnu_ref/bnm_ref: (6, n) f32 —
     mean, rsqrt(var+eps)*scale, bias for the stage's two BNs.
     ring*: (NRING, n, (S1 + 3) * WP) dt ghosted activation planes,
     slice t in slot t % NRING; ghost rows zeroed once per row.
@@ -131,7 +135,7 @@ def _kernel(x_hbm, y2_hbm, w1_ref, w2_ref, w3_ref, w4_ref, wh_ref,
     def bn_act(a, bn_ref, row0: int):
         y = ((a.astype(jnp.float32) - bn_ref[row0][:, None])
              * bn_ref[row0 + 1][:, None] + bn_ref[row0 + 2][:, None])
-        return _leaky(y.astype(dt), dt)
+        return _leaky_f32(y, dt)
 
     def tap_conv(ring, w_ref, j: int):
         """27-tap conv over ghosted ring planes t-1, t, t+1 (slots
@@ -199,7 +203,10 @@ def _kernel(x_hbm, y2_hbm, w1_ref, w2_ref, w3_ref, w4_ref, wh_ref,
             preferred_element_type=jnp.float32)
         h = h.astype(dt) + bh_ref[...].astype(dt)
         mu = h[:zd]
-        sg = jax.nn.softplus(h[zd:])  # dt, matching MuSigmaBlock
+        # dt, matching MuSigmaBlock's jax.nn.softplus bit-for-bit on
+        # finite values (hardware Mosaic rejects the bf16 compares
+        # inside jax.nn.softplus — activations.softplus_dt)
+        sg = _softplus_dt(h[zd:], dt)
         obuf[...] = jnp.concatenate([mu, sg], axis=0).reshape(
             2 * zd, S1, WP)
         dma_o = pltpu.make_async_copy(
@@ -334,6 +341,13 @@ def posterior_head_fused(fb: jnp.ndarray, y2: jnp.ndarray, p: dict,
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # lift the 16M scoped-VMEM default (a compiler default, not
+        # physical): this kernel's scratch alone (xbuf + colbuf + three
+        # rings) is ~45M at the l0 shape, and the unrolled 4-conv tap
+        # chains need stack on top; 100M leaves headroom under the 128M
+        # physical VMEM for operands
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xf, y2f, w1, w2, w3, w4, wh, bu, bm, bh, bnu, bnm)
     o = jnp.transpose(out[..., :S2], (0, 2, 3, 4, 1))

@@ -8,7 +8,7 @@ hot block where XLA's per-op costs are dominated by glue, not math
 
 - the zdim->n0 conv runs on the VPU at its ~2 TF/s f32 ceiling
   (27*zdim << the 128-lane MXU width) — 17.7 ms at the l0 8-row shape;
-- the single-op MXU fix (kernels/conv_narrow.py) is 1.8x isolated but
+- the single-op MXU fix (attic/conv_narrow.py) is 1.8x isolated but
   LOSES 2.9% composed: its 32-channel custom-call output forces a
   materialized channels-first->last transpose (~2.6 GB/chunk of
   transpose passes ~ 20 ms);
@@ -71,8 +71,8 @@ BZ = 8    # output z-slices per grid step (8-aligned DMA windows)
 ZSLAB = 16
 
 
-def _leaky(x, dt):
-    return jnp.where(x >= 0, x, jnp.asarray(0.2, dt) * x)
+from pulpo_tpu.kernels.activations import leaky as _leaky
+from pulpo_tpu.kernels.activations import leaky_from_f32 as _leaky_f32
 
 
 def _kernel(x_hbm, w1_ref, w2_ref, w3_ref, bb_ref, bn_ref, out_hbm,
@@ -85,7 +85,9 @@ def _kernel(x_hbm, w1_ref, w2_ref, w3_ref, bb_ref, bn_ref, out_hbm,
     conv-depth-2 halo [zi*8-2, zi*8+10)).
     w1_ref: (27 * zdim, n0) dt. w2_ref: (27, n0, n0) dt, w2_ref[tap] =
     kernel[tap].T (out, in). w3_ref: (ndims, n0) dt.
-    bb_ref: (3, n0) dt — conv biases b1, b2, b3 (b3 zero-padded).
+    bb_ref: (3, n0) f32, values pre-rounded to dt — conv biases b1, b2,
+    b3 (b3 zero-padded); the in-kernel .astype(dt) recovers the exact
+    XLA bias (hardware Mosaic rejects non-32-bit minor-dim reshapes).
     bn_ref: (6, n0) f32 — mean1, rsqrt(var1+eps)*scale1, bias1, then
     the same for BN2 (the flax eval-BN affine, precomputed outside).
     ring: (3, n0, (S1 + 3) * WP) dt — rolling conv1-activation planes in
@@ -129,7 +131,7 @@ def _kernel(x_hbm, w1_ref, w2_ref, w3_ref, bb_ref, bn_ref, out_hbm,
         a = acc.astype(dt) + bb_ref[0][:, None].astype(dt)
         y = ((a.astype(jnp.float32) - bn_ref[0][:, None])
              * bn_ref[1][:, None] + bn_ref[2][:, None])
-        a = _leaky(y.astype(dt), dt)
+        a = _leaky_f32(y, dt)
         # zero SAME-pad ghosts: lanes x >= S2, and whole planes at
         # t == -1 / t == S0 (conv2 must read zeros there)
         t = zi * BZ + j
@@ -164,7 +166,7 @@ def _kernel(x_hbm, w1_ref, w2_ref, w3_ref, bb_ref, bn_ref, out_hbm,
         a = acc.astype(dt) + bb_ref[1][:, None].astype(dt)
         y = ((a.astype(jnp.float32) - bn_ref[3][:, None])
              * bn_ref[4][:, None] + bn_ref[5][:, None])
-        a = _leaky(y.astype(dt), dt)
+        a = _leaky_f32(y, dt)
         out = jax.lax.dot_general(
             w3_ref[...], a, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -246,6 +248,12 @@ def velocity_head_fused(z: jnp.ndarray, p: dict,
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # the default 16M scoped-VMEM stack is 144K short of this
+        # kernel's l0 live set (hardware Mosaic, round 4); the limit is
+        # a compiler default, not physical — total VMEM is 128M and
+        # scratch+stack+operands stay well under it at 48M
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(xf, w1, w2, w3, bb, bn)
     return jnp.transpose(out[..., :S2], (0, 2, 3, 4, 1))

@@ -63,12 +63,18 @@ INLINE_W_TAPS = int(os.environ.get("PULPO_WARP_INLINE_W", "8"))
 
 
 def _halo_tap_accumulate(mbuf, dbuf, z0, *, bz: int, halo: int, spatial,
-                         c: int):
+                         c: int, coarse=None):
     """Accumulate the (2H+2)^3 hat-weighted taps of one z-slab whose
     first output slice sits at (dynamic) global z `z0`. Shared by the
     per-slab-grid kernel and the internal-z-loop kernel — identical
     math, one source of truth. Returns a c-tuple of (bz, S1, S2) f32
-    accumulators."""
+    accumulators.
+
+    `coarse`: optional (cz, cy, cx) traced int32 scalars — the
+    large-displacement tier's per-slab/per-row integer offsets. The
+    moving window the caller DMA'd is already positioned at +coarse, so
+    the stencil sees the RESIDUAL offset rel - coarse; the tap geometry
+    is unchanged (kernels/warp_halo.py coarse tier, round 4)."""
     S0, S1, S2 = spatial
     taps = 2 * halo + 2
 
@@ -81,7 +87,10 @@ def _halo_tap_accumulate(mbuf, dbuf, z0, *, bz: int, halo: int, spatial,
     for a, g, s in ((0, gz, S0), (1, gy, S1), (2, gx, S2)):
         loc = g + dbuf[a, :, :S1, :S2]
         src = jnp.clip(loc * (s / (s - 1.0)) - 0.5, 0.0, s - 1.0)
-        rel.append(src - g)  # in [-H, H+1] under the caller's guard
+        r = src - g  # in [-H, H+1] under the caller's guard
+        if coarse is not None:
+            r = r - coarse[a].astype(jnp.float32)
+        rel.append(r)
 
     def hat(r, o):
         return jnp.maximum(0.0, 1.0 - jnp.abs(r - o))
@@ -228,6 +237,35 @@ def use_zloop() -> bool:
     return os.environ.get("PULPO_WARP_ZLOOP", "0") == "1"
 
 
+def _halo_bz(S0: int, S1: int, S2: int, taps: int, c: int,
+             s1p: int, s2p: int, s1d: int, s2d: int) -> int:
+    """Z-slab height for the halo kernels (factored so the coarse tier
+    replicates the exact choice its per-slab offsets are computed at).
+    VMEM budget: moving slab (C, bz+2H+1, s1p, s2p) + df slab + the
+    per-iteration working set (wx/wy tap lists, rel, accumulators — all
+    (bz, S1, S2)). Mosaic's true scoped-stack high-water mark runs
+    ~4-5x this estimate for the unrolled tap chains (measured round 3:
+    est 6.8M -> actual 31.5M at taps=8, 80x96x112, bz=4), so the budget
+    is 3M of the 16M limit — level-res shapes land on bz=1-2, full-res
+    was already there. PULPO_WARP_BZ overrides for tuning."""
+    env_bz = os.environ.get("PULPO_WARP_BZ")
+    if env_bz:
+        target = int(env_bz)
+    else:
+        # budget with the PRECOMPUTED path's live set even when c==1
+        # inlines: same (validated) bz choice, strictly less VMEM
+        n_w = 4 if taps > INLINE_W_TAPS else 2 * taps
+        target = 8
+        while target > 1:
+            est = 4 * (c * (target + taps - 1) * s1p * s2p        # mbuf
+                       + 3 * target * s1d * s2d                   # dbuf
+                       + (n_w + 4 + 2 * c) * target * S1 * S2)
+            if est <= 3 * 2**20:
+                break
+            target //= 2
+    return _pick_slab(S0, target=target)
+
+
 def _warp_halo_pallas(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
                       interpret: bool = False) -> jnp.ndarray:
     """Raw kernel wrapper: moving (B, *spatial, C), df (B_df, *spatial, 3)
@@ -259,29 +297,7 @@ def _warp_halo_pallas(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
     dp = jnp.pad(dcf, ((0, 0), (0, 0), (0, 0),
                        (0, s1d - S1), (0, s2d - S2)))
 
-    # VMEM budget: moving slab (C, bz+2H+1, s1p, s2p) + df slab + the
-    # per-iteration working set (wx/wy tap lists, rel, accumulators —
-    # all (bz, S1, S2)). Mosaic's true scoped-stack high-water mark runs
-    # ~4-5x this estimate for the unrolled tap chains (measured round 3:
-    # est 6.8M -> actual 31.5M at taps=8, 80x96x112, bz=4), so the
-    # budget is 3M of the 16M limit — level-res shapes land on bz=1-2,
-    # full-res was already there. PULPO_WARP_BZ overrides for tuning.
-    env_bz = os.environ.get("PULPO_WARP_BZ")
-    if env_bz:
-        target = int(env_bz)
-    else:
-        # budget with the PRECOMPUTED path's live set even when c==1
-        # inlines: same (validated) bz choice, strictly less VMEM
-        n_w = 4 if taps > INLINE_W_TAPS else 2 * taps
-        target = 8
-        while target > 1:
-            est = 4 * (c * (target + taps - 1) * s1p * s2p        # mbuf
-                       + 3 * target * s1d * s2d                   # dbuf
-                       + (n_w + 4 + 2 * c) * target * S1 * S2)
-            if est <= 3 * 2**20:
-                break
-            target //= 2
-    bz = _pick_slab(S0, target=target)
+    bz = _halo_bz(S0, S1, S2, taps, c, s1p, s2p, s1d, s2d)
 
     if use_zloop():
         # tile-aligned output pads (DMA'd whole, sliced off below);

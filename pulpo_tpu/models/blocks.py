@@ -77,17 +77,12 @@ class _RawConv(nn.Module):
 
         if use_tapgrad(x, self.kernel_size, self.padding):
             return conv3d_tapgrad(x, kernel)
-        # narrow-cin convs (the VelocityField head's z->n0): the Pallas
-        # MXU im2col kernel is 1.8x isolated and bit-exact, but the
-        # layout glue around the custom call costs more than it saves
-        # composed (bench -2.9%) — opt-in only (kernels/conv_narrow.py).
-        from pulpo_tpu.kernels.conv_narrow import (
-            conv3d_narrow,
-            narrow_applicable,
-        )
-
-        if narrow_applicable(x, self.kernel_size, self.padding):
-            return conv3d_narrow(x, kernel)
+        # narrow-cin convs (the VelocityField head's z->n0) stay on the
+        # XLA VPU path: the single-op MXU fix was 1.8x isolated but
+        # -2.9% composed (attic/conv_narrow.py); the live lever is the
+        # whole-head fusion (kernels/vel_head.py, routed in
+        # VelocityField), which keeps both custom-call seams on
+        # 3-channel tensors.
         # 96->96 convs hit a pathological XLA conv emitter (17.6 TFLOP/s
         # measured vs 52-79 for 96->64/64->64/64->96 at the same shape);
         # zero-padding both channel dims to the 128-lane width runs
@@ -96,7 +91,13 @@ class _RawConv(nn.Module):
         # PERF.md). These are the decode up_blocks' second convs — the
         # single largest FLOP block of the UQ workload.
         cin, cout = kernel.shape[-2], kernel.shape[-1]
-        if ndims == 3 and 96 <= cin < 128 and 96 <= cout < 128:
+        # PULPO_NO_CONVPAD=1 disables the pad (for algorithmic-FLOP
+        # accounting via cost_analysis — PERF.md roofline; never set it
+        # on a perf path)
+        import os as _os
+
+        if ndims == 3 and 96 <= cin < 128 and 96 <= cout < 128 \
+                and not _os.environ.get("PULPO_NO_CONVPAD"):
             x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, 128 - cin),))
             kernel = jnp.pad(
                 kernel, ((0, 0),) * ndims + ((0, 128 - cin), (0, 128 - cout)))

@@ -220,7 +220,6 @@ class Autoencoder(nn.Module):
         train: bool = True,
         n_samples: int = 1,
         sample_keys: jnp.ndarray | None = None,
-        pair_pre: dict | None = None,
     ) -> tuple[LevelDict, ...]:
         """With ``n_samples=S > 1``, S posterior draws are decoded with
         the samples FOLDED INTO THE BATCH AXIS ((S, B) flattened to S*B,
@@ -239,10 +238,10 @@ class Autoencoder(nn.Module):
         callers chunk S — required by the streaming UQ engine. Mandatory
         when S > 1 and not deterministic.
 
-        ``pair_pre`` (from :meth:`precompute_pair`): the pair-constant
-        tensors — the coarsest-level posterior moments and every merge
-        conv's activation half — precomputed ONCE outside a sample-chunk
-        scan instead of once per chunk. Bit-identical results.
+        (A pair_pre hoisting variant — pair-constant tensors computed
+        outside the sample-chunk scan — was measured SLOWER at the
+        flagship config, -11%: scan constants re-read from HBM each
+        chunk. Removed round 4; PERF.md keeps the A/B.)
         """
         cfg = self.cfg
         S = n_samples
@@ -298,12 +297,8 @@ class Autoencoder(nn.Module):
             if l == cfg.latent_levels - 1:
                 # coarsest level: the posterior head sees only the (per-
                 # pair) down activation — compute it once and broadcast
-                # (or take it precomputed from outside the chunk scan)
-                if pair_pre is not None:
-                    mu_pp, sigma_pp = pair_pre["coarse"]
-                else:
-                    mu_pp, sigma_pp = self.encoders[str(l)](
-                        down_activations[k], None, train)
+                mu_pp, sigma_pp = self.encoders[str(l)](
+                    down_activations[k], None, train)
                 mus[l], sigmas[l] = tile(mu_pp), tile(sigma_pp)
                 parent_combined = None
             else:
@@ -347,10 +342,8 @@ class Autoencoder(nn.Module):
                                        cfg.num_channels[k], cfg.zdim)
                 )
                 if mode:
-                    y2 = (pair_pre["merge_y2"][l] if pair_pre is not None
-                          else self.encoders[str(l)](
-                              down_activations[k], train=train,
-                              act_half=True))
+                    y2 = self.encoders[str(l)](
+                        down_activations[k], train=train, act_half=True)
                     dt = self.dtype or fb.dtype
                     mus[l], sigmas[l] = posterior_head(
                         fb.astype(dt), y2, self._pos_head_params(l),
@@ -358,9 +351,7 @@ class Autoencoder(nn.Module):
                 else:
                     fb = self.up_blocks[str(l)](fb, train=train)
                     mus[l], sigmas[l] = self.encoders[str(l)](
-                        down_activations[k], fb, train,
-                        y2=None if pair_pre is None else pair_pre["merge_y2"][l],
-                    )
+                        down_activations[k], fb, train)
                 parent_combined = combined_dfs[l + 1]
 
             if deterministic:
@@ -422,30 +413,6 @@ class Autoencoder(nn.Module):
         p["hbsig"] = ms["conv_sigma"]["Conv_0"]["bias"]
         return p
 
-    def precompute_pair(self, down_activations: LevelDict,
-                        train: bool = False) -> dict:
-        """Pair-constant decode tensors, for hoisting out of a sample-
-        chunk scan: the coarsest-level posterior moments and the
-        per-pair activation half of every feedback-merge conv. Feed the
-        result to ``__call__(..., pair_pre=...)``. Bit-exact
-        (tests/test_model.py), but measured SLOWER at the flagship
-        UQ config (0.3298 vs 0.3694 pairs/s — the hoisted tensors are
-        scan constants re-read from HBM each chunk, PERF.md), so
-        uq/predict does not use it; available for memory- or
-        FLOP-bound callers."""
-        cfg = self.cfg
-        top = cfg.latent_levels - 1
-        return {
-            "coarse": self.encoders[str(top)](
-                down_activations[top + cfg.lk_offset], None, train),
-            "merge_y2": {
-                l: self.encoders[str(l)](
-                    down_activations[l + cfg.lk_offset], train=train,
-                    act_half=True)
-                for l in range(top)
-            },
-        }
-
 
 def prior_like(posterior_mus: LevelDict, posterior_sigmas: LevelDict):
     """Standard-normal prior moments shaped like the posterior
@@ -475,17 +442,9 @@ class PULPoModule(nn.Module):
         return self.downpath(x, y, train=train)
 
     def decode(self, x, down_activations, deterministic=False,
-               train: bool = False, n_samples: int = 1, sample_keys=None,
-               pair_pre: dict | None = None):
+               train: bool = False, n_samples: int = 1, sample_keys=None):
         """Decode (optionally S posterior samples folded into the batch
         axis, see Autoencoder.__call__). Output leaves are (S*B, ...),
         sample-major — reshape(S, B, ...) recovers the sample axis."""
         return self.autoencoder(x, down_activations, deterministic, train,
-                                n_samples=n_samples, sample_keys=sample_keys,
-                                pair_pre=pair_pre)
-
-    def precompute_pair(self, down_activations, train: bool = False):
-        """Pair-constant decode tensors (see Autoencoder.precompute_pair);
-        pass to :meth:`decode` as ``pair_pre`` to hoist them out of a
-        sample-chunk scan."""
-        return self.autoencoder.precompute_pair(down_activations, train=train)
+                                n_samples=n_samples, sample_keys=sample_keys)

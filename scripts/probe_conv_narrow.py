@@ -19,7 +19,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from pulpo_tpu.kernels.conv_narrow import conv3d_narrow_mxu
+from pulpo_tpu.attic.conv_narrow import conv3d_narrow_mxu
 from pulpo_tpu.ops.conv import _conv_xla
 
 SHAPE = (8, 80, 96, 112)

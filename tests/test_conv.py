@@ -75,7 +75,7 @@ def test_im2col_matches_xla_conv_and_vjp():
     """conv3d_im2col: forward (27-view concat + one matmul) must match
     the XLA conv up to f32 accumulation order; its VJP is defined AS the
     XLA conv vjp and must match it exactly."""
-    from pulpo_tpu.ops.conv import conv3d_im2col
+    from pulpo_tpu.attic.im2col import conv3d_im2col
 
     k1, k2, k3 = jax.random.split(jax.random.key(7), 3)
     x = jax.random.normal(k1, (2, 6, 7, 8, 3), jnp.float32)
@@ -95,7 +95,7 @@ def test_im2col_bf16_accumulates_f32():
     products of ~1-magnitude values in bf16 would lose ~2 decimal
     digits; against an f32 reference the error must stay at bf16
     rounding scale."""
-    from pulpo_tpu.ops.conv import conv3d_im2col
+    from pulpo_tpu.attic.im2col import conv3d_im2col
 
     k1, k2 = jax.random.split(jax.random.key(8))
     x = jax.random.normal(k1, (1, 5, 6, 7, 4), jnp.float32)

@@ -565,66 +565,6 @@ class TestMgradCascade:
                                    rtol=1e-4, atol=1e-5)
 
 
-class TestConvNarrowMXU:
-    """conv3d_narrow (MXU im2col for cin<=4 3x3x3 SAME convs): forward
-    must match the XLA conv up to f32 summation order; VJP is defined
-    AS the XLA conv vjp."""
-
-    def _mk(self, B=2, S=(8, 10, 12), cin=3, cout=32):
-        import jax
-        import jax.numpy as jnp
-
-        k1, k2 = jax.random.split(jax.random.key(11))
-        x = jax.random.normal(k1, (B, *S, cin), jnp.float32)
-        k = jax.random.normal(k2, (3, 3, 3, cin, cout), jnp.float32) * 0.2
-        return x, k
-
-    def test_forward_matches_xla(self):
-        import numpy as np
-
-        from pulpo_tpu.kernels.conv_narrow import conv3d_narrow_mxu
-        from pulpo_tpu.ops.conv import _conv_xla
-
-        x, k = self._mk()
-        out = conv3d_narrow_mxu(x, k, interpret=True)
-        ref = _conv_xla(x, k)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=0, atol=2e-5)
-
-    def test_forward_with_bias_and_bf16(self):
-        import jax.numpy as jnp
-        import numpy as np
-
-        from pulpo_tpu.kernels.conv_narrow import conv3d_narrow_mxu
-        from pulpo_tpu.ops.conv import _conv_xla
-
-        x, k = self._mk(cin=2, cout=8)
-        b = jnp.arange(8, dtype=jnp.float32) * 0.1
-        out = conv3d_narrow_mxu(x.astype(jnp.bfloat16),
-                                k.astype(jnp.bfloat16), bias=b,
-                                interpret=True)
-        assert out.dtype == jnp.bfloat16
-        ref = _conv_xla(x, k) + b
-        err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
-        assert err.max() < 0.1 * np.abs(np.asarray(ref)).max()
-
-    def test_vjp_matches_xla(self):
-        import jax
-        import numpy as np
-
-        from pulpo_tpu.kernels.conv_narrow import conv3d_narrow
-        from pulpo_tpu.ops.conv import _conv_xla
-
-        x, k = self._mk(B=1, S=(8, 9, 10), cin=3, cout=5)
-        g = jax.random.normal(jax.random.key(12), (1, 8, 9, 10, 5))
-        out_ref, vjp_ref = jax.vjp(_conv_xla, x, k)
-        out_n, vjp_n = jax.vjp(lambda a, b: conv3d_narrow(a, b, True), x, k)
-        np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_ref),
-                                   rtol=0, atol=2e-5)
-        for a, b in zip(vjp_n(g), vjp_ref(g)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-
 class TestVelHeadFused:
     """velocity_head (fused whole-VelocityField-head MXU kernel,
     kernels/vel_head.py): forward must match the flax/XLA eval

@@ -145,27 +145,3 @@ def test_fullres_batched_level_warp_matches_per_level():
         ref = warp_image(x.astype(jnp.float32), final[l])
         np.testing.assert_array_equal(
             np.asarray(transformed[l]), np.asarray(ref))
-
-
-def test_pair_precompute_hoisting_bit_exact(model_and_vars):
-    """decode(pair_pre=precompute_pair(...)) must be bit-identical to the
-    unhoisted decode: the hoisted tensors (coarsest posterior moments,
-    merge-conv activation halves) are the SAME ops on the SAME inputs,
-    just evaluated outside the sample-chunk scan (uq/predict)."""
-    from pulpo_tpu.models.pulpo import PULPoModule
-
-    model, variables = model_and_vars
-    x, y = _pair(model.cfg)
-    acts = model.module.apply(variables, x, y, train=False,
-                              method=PULPoModule.encode)
-    pre = model.module.apply(variables, acts,
-                             method=PULPoModule.precompute_pair)
-    ks = jax.random.split(jax.random.key(7), 3)
-    plain = model.module.apply(variables, x, acts, False, False,
-                               method=PULPoModule.decode, n_samples=3,
-                               sample_keys=ks)
-    hoisted = model.module.apply(variables, x, acts, False, False,
-                                 method=PULPoModule.decode, n_samples=3,
-                                 sample_keys=ks, pair_pre=pre)
-    for a, b in zip(jax.tree.leaves(plain), jax.tree.leaves(hoisted)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

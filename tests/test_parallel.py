@@ -316,3 +316,39 @@ def test_multihost_two_process(tmp_path):
         np.testing.assert_allclose(g, ref_grad, rtol=1e-5, atol=1e-6)
         val = float((tmp_path / f"loss{pid}.txt").read_text())
         np.testing.assert_allclose(val, ref_loss, rtol=1e-5)
+
+
+def test_param_sharding_rules_forward_matches_replicated():
+    """TP hook (parallel/tp.py): a forward with conv kernels sharded
+    over a 2-device `model` axis matches the replicated forward."""
+    from pulpo_tpu.parallel.tp import (make_model_mesh,
+                                       param_sharding_rules, shard_params)
+
+    cfg = PULPoConfig(input_size=(12, 14, 16), total_levels=3,
+                      latent_levels=2, n0=4, batch_size=1,
+                      dataset="synthetic")
+    model = PULPoModel(cfg)
+    variables = model.init(jax.random.key(0))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((1, *cfg.input_size, 1), dtype=np.float32))
+    y = jnp.asarray(rng.random((1, *cfg.input_size, 1), dtype=np.float32))
+
+    ref = model.predict_deterministic(variables, x, y)
+
+    mesh = make_model_mesh(2)
+    rules = param_sharding_rules(variables, mesh)
+    # the rules must actually shard something (n0=4 conv kernels have
+    # cout >= 4 = 2 * axis size) and replicate the odd (ndims=3) heads
+    specs = jax.tree.leaves(jax.tree.map(lambda s: s.spec, rules,
+                                         is_leaf=lambda s: hasattr(s, "spec")))
+    assert any(sp != jax.sharding.PartitionSpec() for sp in specs)
+    sharded = shard_params(variables, mesh)
+    # NamedSharding inputs carry the mesh: jit partitions the convs and
+    # inserts the collectives without any model-code change (the hook's
+    # whole contract)
+    got = model.predict_deterministic(sharded, x, y)
+
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-5, atol=2e-5)
