@@ -120,18 +120,30 @@ def _kernel(x_hbm, *refs, spatial, widths, wp: int):
                 ws[0][...], colbuf[...], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         else:
-            acc = None
-            for dz in range(3):
-                slot = (j - 1 + dz) % NRING
+            # dz as a fori_loop (slot/tap become traced LEADING-dim
+            # indices — legal, unlike sublane/lane dims): 9 dots live
+            # per iteration instead of 27, cutting Mosaic program size
+            # and scoped-stack high-water; summation order unchanged
+            # (dz-major either way) -> bit-identical (same restructure
+            # as pos_head.tap_conv, round 4)
+            ring_i = rings[i - 1]
+            n_out = ws[i].shape[1]
+
+            def dz_body(dz, acc, _i=i, _j=j, _ring=ring_i):
+                slot = jax.lax.rem(_j - 1 + dz + NRING, NRING)
                 for dy in range(3):
                     for dx in range(3):
                         tap = (dz * 3 + dy) * 3 + dx
                         off = dy * wp + dx
                         d = jax.lax.dot_general(
-                            ws[i][tap], rings[i - 1][slot, :, off:off + flat],
+                            ws[_i][tap], _ring[slot, :, off:off + flat],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-                        acc = d if acc is None else acc + d
+                        acc = acc + d
+                return acc
+
+            acc = jax.lax.fori_loop(
+                0, 3, dz_body, jnp.zeros((n_out, flat), jnp.float32))
         a = epilogue(acc, i)
         if i == D - 1:
             obuf[...] = a.reshape(widths[-1], S1, wp)
@@ -241,9 +253,12 @@ def conv_chain_fused(x: jnp.ndarray, stages: list[dict], wp: int = 128,
             pltpu.SemaphoreType.DMA(()),
         ],
         # lift the 16M scoped-VMEM default (compiler default, not
-        # physical; same rationale as pos_head.py)
+        # physical). NOT higher than 76M: the limit doubles as the
+        # stack budget the scheduler feels free to use — pos_head at a
+        # 100M cap scheduled a ~97M high-water and blew the 128M
+        # physical VMEM (round-4 probe); same rationale as pos_head.py.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=76 * 1024 * 1024),
         interpret=interpret,
     )(xf, *w_ops, *b_ops, *bn_ops)
     return jnp.transpose(out[..., :S2], (0, 2, 3, 4, 1))

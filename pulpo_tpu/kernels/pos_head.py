@@ -139,10 +139,19 @@ def _kernel(x_hbm, y2_hbm, w1_ref, w2_ref, w3_ref, w4_ref, wh_ref,
 
     def tap_conv(ring, w_ref, j: int):
         """27-tap conv over ghosted ring planes t-1, t, t+1 (slots
-        (j-1+dz) % NRING): sum of (out, in) x (in, flat) MXU dots."""
-        acc = None
-        for dz in range(3):
-            slot = (j - 1 + dz) % NRING
+        (j-1+dz) % NRING): sum of (out, in) x (in, flat) MXU dots.
+
+        The dz axis runs as a fori_loop (slot and tap become traced
+        LEADING-dim indices — untiled, so dynamic indexing is legal,
+        unlike sublane/lane dims): 9 dots live per iteration instead
+        of 27, which cuts both the Mosaic program size (the l0 compile
+        was 33 min fully unrolled) and the scoped-stack high-water
+        (141M > 128M physical at the 100M cap). Summation order is
+        identical (dz-major either way) -> bit-identical results."""
+        n_out = w_ref.shape[1]
+
+        def dz_body(dz, acc):
+            slot = jax.lax.rem(j - 1 + dz + NRING, NRING)
             for dy in range(3):
                 for dx in range(3):
                     tap = (dz * 3 + dy) * 3 + dx
@@ -151,8 +160,11 @@ def _kernel(x_hbm, y2_hbm, w1_ref, w2_ref, w3_ref, w4_ref, wh_ref,
                         w_ref[tap], ring[slot, :, off:off + flat],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                    acc = d if acc is None else acc + d
-        return acc
+                    acc = acc + d
+            return acc
+
+        return jax.lax.fori_loop(
+            0, 3, dz_body, jnp.zeros((n_out, flat), jnp.float32))
 
     def conv1_slice(j: int):
         """up_block unit 1 for slice t = t0 + j -> ring1[j % NRING].
@@ -343,11 +355,14 @@ def posterior_head_fused(fb: jnp.ndarray, y2: jnp.ndarray, p: dict,
         ],
         # lift the 16M scoped-VMEM default (a compiler default, not
         # physical): this kernel's scratch alone (xbuf + colbuf + three
-        # rings) is ~45M at the l0 shape, and the unrolled 4-conv tap
-        # chains need stack on top; 100M leaves headroom under the 128M
-        # physical VMEM for operands
+        # rings) is ~43M at the l0 shape, and the unrolled 4-conv tap
+        # chains need stack on top. The limit is also the STACK BUDGET
+        # the scheduler feels free to use: at 100M it scheduled a ~97M
+        # high-water and blew the 128M physical VMEM by 13M (round-4
+        # hardware probe) — 76M forces it to economize while staying
+        # far above the 16M default.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=76 * 1024 * 1024),
         interpret=interpret,
     )(xf, y2f, w1, w2, w3, w4, wh, bu, bm, bh, bnu, bnm)
     o = jnp.transpose(out[..., :S2], (0, 2, 3, 4, 1))

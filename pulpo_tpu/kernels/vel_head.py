@@ -318,7 +318,11 @@ def vel_head_mode(z: jnp.ndarray, n0: int, ndims: int) -> str | None:
         return None
     S0, S1, S2 = z.shape[1:-1]
     vol = S0 * S1 * S2
-    if not (S2 + 2 <= WP and S0 % BZ == 0 and S0 >= BZ and vol >= 32768):
+    # hardware A/B (probe_vel_head, v5e, round 4): 1.78x at the l0
+    # shape (80x96x112, 19.96 vs 35.50 ms) but 0.83x at l1 (40x48x56,
+    # 7.54 vs 6.26 ms) — the per-grid-step fixed overhead dominates at
+    # small volumes. Floor set between the two.
+    if not (S2 + 2 <= WP and S0 % BZ == 0 and S0 >= BZ and vol >= 400_000):
         return None
     if flag == "interp":
         return "interp"

@@ -93,31 +93,43 @@ def _tapgrad_bwd(res, g):
     # dL/dk[t] = x_pad[t:t+S]^T @ g  with x padded by p per axis.
     xp = jnp.pad(x, ((0, 0),) + ((p, p),) * 3 + ((0, 0),))
 
-    # The taps run in a fori_loop, NOT unrolled: unrolled, XLA keeps all
-    # K^3 sliced (b, *spatial, C) operands live at once (measured: 16+
-    # resident 672M dynamic_slice temps at full res -> 20G, still OOM).
-    # Sequentialized, one slice pair exists at a time.
-    def body(t, carry):
+    # The taps run in a fori_loop, NOT fully unrolled: unrolled, XLA
+    # keeps all K^3 sliced (b, *spatial, C) operands live at once
+    # (measured: 16+ resident 672M dynamic_slice temps at full res ->
+    # 20G, still OOM). Sequentialized, one slice pair exists at a time
+    # — but then the f32 dx accumulator (n, Ci) is re-read and
+    # re-written EVERY tap (~1.8 GB/tap at full res B=1, the dominant
+    # backward HBM traffic). PULPO_TAPGRAD_UNROLL=U (U in {1, 3, 9},
+    # default 1) unrolls U taps per loop body: the accumulator round-
+    # trips K^3/U times instead of K^3, at the cost of U slice temps
+    # coexisting (~0.67 GB each at full res B=1) — size U to HBM.
+    unroll = int(os.environ.get("PULPO_TAPGRAD_UNROLL", "1"))
+    if K**3 % unroll != 0:
+        unroll = 1
+
+    def body(tg, carry):
         dx_acc, dk_acc = carry
-        tz = t // (K * K)
-        ty = (t // K) % K
-        tx = t % K
-        sl_g = jax.lax.dynamic_slice(
-            gp, (0, K - 1 - tz, K - 1 - ty, K - 1 - tx, 0),
-            (b, *spatial, co)).reshape(n, co)
-        dx_acc = dx_acc + jax.lax.dot_general(
-            sl_g, kf[t], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        sl_x = jax.lax.dynamic_slice(
-            xp, (0, tz, ty, tx, 0), (b, *spatial, ci)).reshape(n, ci)
-        dk_t = jax.lax.dot_general(
-            sl_x, gr, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dk_acc = jax.lax.dynamic_update_index_in_dim(dk_acc, dk_t, t, 0)
+        for j in range(unroll):
+            t = tg * unroll + j
+            tz = t // (K * K)
+            ty = (t // K) % K
+            tx = t % K
+            sl_g = jax.lax.dynamic_slice(
+                gp, (0, K - 1 - tz, K - 1 - ty, K - 1 - tx, 0),
+                (b, *spatial, co)).reshape(n, co)
+            dx_acc = dx_acc + jax.lax.dot_general(
+                sl_g, kf[t], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sl_x = jax.lax.dynamic_slice(
+                xp, (0, tz, ty, tx, 0), (b, *spatial, ci)).reshape(n, ci)
+            dk_t = jax.lax.dot_general(
+                sl_x, gr, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk_acc = jax.lax.dynamic_update_index_in_dim(dk_acc, dk_t, t, 0)
         return dx_acc, dk_acc
 
     dx, dk = jax.lax.fori_loop(
-        0, K**3, body,
+        0, K**3 // unroll, body,
         (jnp.zeros((n, ci), jnp.float32),
          jnp.zeros((K**3, ci, co), jnp.float32)))
 

@@ -1036,3 +1036,106 @@ class TestConvChainFused:
         got_t = cs.apply(variables, x, True, mutable=["batch_stats"])[0]
         ref_t = cs.apply(variables, x, True, mutable=["batch_stats"])[0]
         np.testing.assert_array_equal(np.asarray(got_t), np.asarray(ref_t))
+
+
+class TestWarpCoarse:
+    """Coarse-offset large-displacement tier (kernels/warp_halo.py,
+    round 4): per-slab integer z offsets + per-row y/x offsets lift the
+    +-H bound; every branch (dense, repaired, gather fallback) must
+    match ops/warp.warp_image exactly."""
+
+    def _smooth_large_field(self, key, b_df, S, amp=10.0):
+        import jax
+        import jax.numpy as jnp
+
+        g = [jnp.linspace(0, 2 * jnp.pi, s) for s in S]
+        zz, yy, xx = jnp.meshgrid(*g, indexing="ij")
+        df = jnp.stack([
+            amp * jnp.sin(0.5 * zz + 0.3) * jnp.cos(0.4 * yy),
+            0.8 * amp * jnp.cos(0.6 * xx) * jnp.sin(0.5 * zz),
+            -0.9 * amp * jnp.sin(0.4 * yy + 1.0),
+        ], axis=-1)[None]
+        df = jnp.tile(df, (b_df, 1, 1, 1, 1))
+        return df + 0.3 * jax.random.normal(key, (b_df, *S, 3))
+
+    @pytest.mark.parametrize("amp", [6.0, 12.0, 20.0])
+    def test_coarse_tier_matches_gather(self, amp):
+        import jax
+        import jax.numpy as jnp
+
+        from pulpo_tpu.kernels.warp_halo import warp_coarse_tier
+        from pulpo_tpu.ops.warp import warp_image
+
+        key = jax.random.key(3)
+        S = (16, 24, 28)
+        mov = jax.random.normal(jax.random.fold_in(key, 1), (1, *S, 1))
+        df = self._smooth_large_field(jax.random.fold_in(key, 2), 2, S, amp)
+        ref = warp_image(mov, df)
+        got = jax.jit(
+            lambda m, d: warp_coarse_tier(m, d, 3, interpret=True))(mov, df)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-5)
+
+    def test_pure_z_shift_hits_dense_branch(self):
+        """A constant integer z shift far beyond H must be absorbed
+        entirely by the per-slab cz (bad mask empty -> dense branch),
+        and still match the gather."""
+        import jax
+        import jax.numpy as jnp
+
+        from pulpo_tpu.kernels.warp_halo import (coarse_bad_mask,
+                                                 coarse_offsets,
+                                                 warp_coarse_tier)
+        from pulpo_tpu.ops.warp import warp_image
+
+        key = jax.random.key(4)
+        S = (16, 24, 28)
+        mov = jax.random.normal(key, (1, *S, 1))
+        # rel ~ df * S/(S-1) plus the grid term; keep df well inside the
+        # volume so clipping does not bend rel: shift 6 voxels in z
+        df = jnp.zeros((1, *S, 3)).at[..., 0].set(6.0)
+        cz, cyx = coarse_offsets(df, 1, 4)
+        assert int(jnp.max(jnp.abs(cz))) >= 5
+        bad = coarse_bad_mask(df, 3, cz, cyx, 1, 4)
+        assert float(bad.mean()) == 0.0
+        got = jax.jit(
+            lambda m, d: warp_coarse_tier(m, d, 3, interpret=True))(mov, df)
+        ref = warp_image(mov, df)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-5)
+
+    def test_cascade_routes_large_fields_exactly(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pulpo_tpu.kernels.warp_halo import warp_cascaded
+        from pulpo_tpu.ops.warp import warp_image
+
+        key = jax.random.key(5)
+        S = (16, 24, 28)
+        mov = jax.random.normal(key, (1, *S, 1))
+        df = self._smooth_large_field(jax.random.fold_in(key, 7), 2, S, 10.0)
+        ref = warp_image(mov, df)
+        got = jax.jit(
+            lambda m, d: warp_cascaded(m, d, interpret=True))(mov, df)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-5)
+
+    def test_sample_tiled_rows_share_moving(self):
+        """b_df = 3 * b: rows sharing a moving row share (cy, cx) by
+        construction; results must still match the per-row gather."""
+        import jax
+        import jax.numpy as jnp
+
+        from pulpo_tpu.kernels.warp_halo import warp_coarse_tier
+        from pulpo_tpu.ops.warp import warp_image
+
+        key = jax.random.key(6)
+        S = (8, 16, 20)
+        mov = jax.random.normal(jax.random.fold_in(key, 1), (2, *S, 1))
+        df = self._smooth_large_field(jax.random.fold_in(key, 2), 6, S, 8.0)
+        ref = warp_image(mov, df)
+        got = jax.jit(
+            lambda m, d: warp_coarse_tier(m, d, 3, interpret=True))(mov, df)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-5)
