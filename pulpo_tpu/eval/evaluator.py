@@ -118,6 +118,12 @@ class Evaluate:
         elif task == "lungct":
             from pulpo_tpu.data.lungct import create_data_loaders
 
+            # inspiration/expiration fields displace tens of voxels:
+            # enable the coarse-offset warp tier (24-36x over the
+            # gather fallback in that regime, PERF.md; opt-in on other
+            # tasks because compiling the extra branch costs -12.9%
+            # composed on OASIS-scale fields that never take it)
+            os.environ.setdefault("PULPO_WARP_COARSE", "1")
             loaders = create_data_loaders(1, segs=segs, lms=lms, mask=mask,
                                           ndims=ndims, path=path)
             self.loaders = list(loaders)

@@ -396,12 +396,15 @@ COARSE_CMAX = int(os.environ.get("PULPO_WARP_COARSE_CMAX", "24"))
 
 
 def use_coarse() -> bool:
-    """Coarse-offset tier in the warp cascade. Default ON for eval
-    cascades: the branch only EXECUTES when every plain tier\'s guard
-    failed (which previously meant the 40-61x-slower gather); on the
-    flagship OASIS bench it is never taken (dfs fit H<=3) and only
-    costs compile time. PULPO_WARP_COARSE=0 disables."""
-    return os.environ.get("PULPO_WARP_COARSE", "1") == "1"
+    """Coarse-offset tier in the warp cascade. OPT-IN
+    (PULPO_WARP_COARSE=1): although the branch only EXECUTES when every
+    plain tier's guard failed, merely COMPILING it into the flagship
+    OASIS program measured -12.9% composed (0.3138 vs 0.3603 pairs/s,
+    round-4 bench A/B — the same program-surface tax that killed three
+    round-3 'free' additions). Set it for large-deformation regimes
+    (LungCT inspiration/expiration, BASELINE config 3), where it is
+    24-36x over the gather fallback (PERF.md coarse-tier table)."""
+    return os.environ.get("PULPO_WARP_COARSE", "0") == "1"
 
 
 def _rel_coords(df: jnp.ndarray):

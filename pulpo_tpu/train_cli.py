@@ -6,6 +6,7 @@ Usage: python -m pulpo_tpu.train_cli --dataset oasis --total_levels 5 ...
 from __future__ import annotations
 
 import argparse
+import os
 import subprocess
 
 
@@ -92,6 +93,9 @@ def main(args=None):
         train_loader, val_loader = loaders[0], loaders[1]
         input_size = train_loader.dataset.input_size
     elif args.dataset == "lungct":
+        # large-deformation regime: enable the coarse-offset warp tier
+        # (see eval/evaluator.py lungct note / PERF.md coarse table)
+        os.environ.setdefault("PULPO_WARP_COARSE", "1")
         from pulpo_tpu.data import lungct
 
         loaders = lungct.create_data_loaders(

@@ -1104,13 +1104,16 @@ class TestWarpCoarse:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=0, atol=1e-5)
 
-    def test_cascade_routes_large_fields_exactly(self):
+    def test_cascade_routes_large_fields_exactly(self, monkeypatch):
         import jax
         import jax.numpy as jnp
 
         from pulpo_tpu.kernels.warp_halo import warp_cascaded
         from pulpo_tpu.ops.warp import warp_image
 
+        # opt-in since the round-4 composed A/B (-12.9% program tax on
+        # OASIS); this test exercises the wired-in cascade branch
+        monkeypatch.setenv("PULPO_WARP_COARSE", "1")
         key = jax.random.key(5)
         S = (16, 24, 28)
         mov = jax.random.normal(key, (1, *S, 1))
