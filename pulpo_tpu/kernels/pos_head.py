@@ -52,8 +52,14 @@ against the unfused flax path at f32 and bf16 (tests/test_kernels.py).
 Routing is wired in models/pulpo.Autoencoder (eval only — BN batch
 stats rule out training) behind PULPO_FUSED_POSTHEAD: "1" = on where
 applicable, unset/"0" = off, "interp" = CPU interpret test hook.
-OPT-IN until the composed flagship A/B lands (the round-3 rule: no
-kernel default flips without a full-bench win).
+
+STAYS OPT-IN after the round-4 composed A/B: despite 2.53x (l0) /
+1.43x (l1) isolated hardware wins, the flagship bench measured -6.0%
+with it routed (0.3387 vs an interleaved 0.3602 baseline; l0-only was
+-11.7%) — the custom-call seams un-fuse the feedback-resize producer
+and the y2 act-half (which XLA otherwise fuses into consumers), and
+the staging transposes outweigh the MXU win. Fifth confirmation of
+the composed-vs-isolated rule; PERF.md round-4 ladder has the data.
 """
 
 from __future__ import annotations
@@ -445,8 +451,13 @@ def pos_head_mode(fb: jnp.ndarray, n_up: int, n_merge: int,
     if fb.dtype not in (jnp.bfloat16, jnp.float32):
         return None
     S0, S1, S2 = fb.shape[1:-1]
+    # PULPO_POSTHEAD_MIN_VOL: volume floor for the fused routing. The
+    # round-4 composed A/B ladder: l0+l1 routed = -6.0% (0.3387 vs
+    # 0.3603) despite 2.53x/1.43x isolated wins — the floor lets the
+    # l0-only variant be A/B'd without code churn.
+    min_vol = int(os.environ.get("PULPO_POSTHEAD_MIN_VOL", "32768"))
     if not (S2 + 2 <= WP and S0 % BZ == 0 and S0 >= 2 * BZ
-            and S0 * S1 * S2 >= 32768):
+            and S0 * S1 * S2 >= min_vol):
         return None
     if flag == "interp":
         return "interp"

@@ -48,11 +48,9 @@ per-slice staged DMA.
 
 Routing is wired in models/blocks.VelocityField (eval only — BN batch
 stats rule out training) and controlled by PULPO_FUSED_VELHEAD:
-"1" = on where applicable, unset/"0" = off, "interp" = CPU interpret
-test hook. OPT-IN until the composed flagship A/B lands (see
-scripts/probe_vel_head.py for the isolated numbers and PERF.md for the
-bench A/B — per the round-3 rule, no kernel default flips without a
-full-bench win).
+unset = ON for bf16 compute at l0-scale volumes (the round-4 composed
+flagship A/B won, reproduced: see vel_head_mode), "1" = on wherever
+applicable (incl. f32), "0" = off, "interp" = CPU interpret test hook.
 """
 
 from __future__ import annotations
@@ -305,11 +303,23 @@ velocity_head.defvjp(_vh_fwd, _vh_bwd)
 def vel_head_mode(z: jnp.ndarray, n0: int, ndims: int) -> str | None:
     """Routing guard for models/blocks.VelocityField: returns None (use
     XLA), "tpu", or "interp" (CPU interpret-mode test hook). Applies at
-    level-res 3D shapes with 8-aligned depth — the flagship l0/l1; l2/l3
-    are too small/unaligned and keep XLA. OPT-IN via
-    PULPO_FUSED_VELHEAD=1 until the composed flagship A/B lands
-    (module docstring)."""
-    flag = os.environ.get("PULPO_FUSED_VELHEAD", "0")
+    l0-scale volumes (the vol floor below) — l1 loses isolated (0.83x),
+    l2/l3 are too small/unaligned; all keep XLA.
+
+    DEFAULT ON (bf16 compute only) since round 4: isolated 1.78x at l0
+    (19.96 vs 35.50 ms) AND a reproduced composed full-bench win —
+    0.3632/0.3634 pairs/s (min-call 10.48 s, runs 100 min apart) vs
+    interleaved baselines 0.3603/0.3602 (10.58/10.59 s): +0.9%, small
+    but stable while the same ladder measured posthead at -6% (PERF.md
+    round-4 ladder). The default is bf16-gated so the f32 parity
+    harness (scripts/parity_fullres.py) keeps the bit-clean XLA
+    composition; explicit PULPO_FUSED_VELHEAD=1 routes f32 too.
+    PULPO_FUSED_VELHEAD=0 disables."""
+    flag = os.environ.get("PULPO_FUSED_VELHEAD", "")
+    if flag == "" and z.dtype == jnp.bfloat16:
+        flag = "1"
+    elif flag == "":
+        flag = "0"
     if flag == "0":
         return None
     if ndims != 3 or z.ndim != 5 or z.shape[-1] > MAX_ZDIM or n0 > 64:

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -190,7 +191,30 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
     assert N % chunk == 0, f"N={N} not divisible by chunk={chunk}"
     n_chunks = N // chunk
 
-    acts = model.module.apply(variables, x, y, train=False, method=PULPoModule.encode)
+    # the encode is per-pair independent (eval BN uses running stats),
+    # so large batches can stream through it in pair-chunks: the B=8
+    # full-res encode's transient working set alone blew HBM (26.37G /
+    # 15.75G, PERF.md round 3) while the per-4-pair encode is the
+    # well-tested B=4 program. lax.map serializes the chunks; the math
+    # per pair is identical (fusion order inside the mapped body may
+    # differ from the monolithic encode: measured worst-leaf diff
+    # 5.5e-4 on bf16 outputs — rounding-order noise, not semantics).
+    enc_chunk = int(os.environ.get("PULPO_UQ_ENCODE_CHUNK", "0"))
+    if enc_chunk and x.shape[0] > enc_chunk and x.shape[0] % enc_chunk == 0:
+        g = x.shape[0] // enc_chunk
+
+        def enc(xy):
+            xx, yy = xy
+            return model.module.apply(variables, xx, yy, train=False,
+                                      method=PULPoModule.encode)
+
+        resh = lambda a: a.reshape(g, enc_chunk, *a.shape[1:])
+        acts_g = jax.lax.map(enc, (resh(x), resh(y)))
+        acts = {l: v.reshape(x.shape[0], *v.shape[2:])
+                for l, v in acts_g.items()}
+    else:
+        acts = model.module.apply(variables, x, y, train=False,
+                                  method=PULPoModule.encode)
 
     # one key per posterior sample: draws depend only on (key, level)
     # inside the decode, so chunking is invariant (tests/test_uq.py)
