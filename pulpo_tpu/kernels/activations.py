@@ -14,7 +14,9 @@ values in the compute dtype.
 its exact finite-value numerics with staged f32 transcendentals: XLA
 computes bf16 exp/log1p by per-op upcast-compute-round, so rounding
 each transcendental back to dt reproduces `jax.nn.softplus(x)` bit for
-bit on finite x (pinned by tests/test_kernels_fused.py).
+bit on finite x (pinned by tests/test_activations.py, plus
+indirectly at head shapes by the fused-head parity tests in
+tests/test_kernels.py).
 """
 
 from __future__ import annotations

@@ -30,7 +30,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # Tiered suite: `pytest -m quick` is the hot-loop subset (golden ops
 # vs torch + config/loss math — the modules with small shapes and no
-# full-model compiles). The full 159-test suite stays the nightly-style
+# full-model compiles). The full suite stays the nightly-style
 # gate (~30-70 min on the 1-core host).
 _QUICK_MODULES = {
     "test_warp", "test_resize", "test_losses", "test_conv", "test_data",

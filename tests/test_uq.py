@@ -207,3 +207,33 @@ def test_uq_masked_final_df_std():
     res_z = predict_with_uncertainty(
         model, variables, x, y, 4, jax.random.key(4), mask=jnp.zeros_like(x))
     assert float(jnp.max(jnp.abs(res_z.final_df_std[0]))) == 0.0
+
+
+def test_uq_encode_chunked_matches_monolithic(monkeypatch):
+    """PULPO_UQ_ENCODE_CHUNK streaming encode (ADVICE r4 #2): chunked
+    pair-encode matches the monolithic encode within the documented
+    fusion-order tolerance, and non-divisible batches fall back to the
+    monolithic path (bit-equal)."""
+    from pulpo_tpu.uq.predict import _uq_impl
+
+    rng = np.random.default_rng(1)
+    cfg = model.cfg
+    x2 = jnp.asarray(rng.random((2, *cfg.input_size, 1), dtype=np.float32))
+    y2 = jnp.asarray(rng.random((2, *cfg.input_size, 1), dtype=np.float32))
+    key = jax.random.key(9)
+    base = _uq_impl(model, variables, x2, y2, 4, key, chunk=2)
+    monkeypatch.setenv("PULPO_UQ_ENCODE_CHUNK", "1")
+    got = _uq_impl(model, variables, x2, y2, 4, key, chunk=2)
+    for l in base.mean_outputs:
+        np.testing.assert_allclose(
+            np.asarray(got.mean_outputs[l]), np.asarray(base.mean_outputs[l]),
+            rtol=1e-4, atol=6e-4)
+        np.testing.assert_allclose(
+            np.asarray(got.output_std[l]), np.asarray(base.output_std[l]),
+            rtol=1e-4, atol=6e-4)
+    # batch 2 not divisible by 3 -> monolithic fallback, bit-equal
+    monkeypatch.setenv("PULPO_UQ_ENCODE_CHUNK", "3")
+    fb = _uq_impl(model, variables, x2, y2, 4, key, chunk=2)
+    for l in base.mean_outputs:
+        np.testing.assert_array_equal(np.asarray(fb.mean_outputs[l]),
+                                      np.asarray(base.mean_outputs[l]))
