@@ -117,12 +117,25 @@ class PULPoConfig:
     # --- parallelism ---
     data_parallel: int = 1  # size of the `data` mesh axis
 
+    # kernel routing (VERDICT r4 #8): config-owned values for the
+    # PULPO_* routing knobs (pulpo_tpu/routing.py registry). Stored as
+    # a hashable tuple of (knob, value) pairs so the config stays
+    # jit-static; env vars still OVERRIDE these (sweep ergonomics).
+    # `pulpo_tpu.routing.activate(cfg.routing)` installs them — the
+    # model API and CLIs do this on construction — and logs the
+    # resolved table once per distinct state.
+    routing: tuple[tuple[str, str], ...] = ()
+
     def __post_init__(self):
         object.__setattr__(self, "input_size", tuple(int(s) for s in self.input_size))
         object.__setattr__(self, "feedback", normalize_feedback(self.feedback))
         object.__setattr__(self, "recon_loss", tuple(self.recon_loss))
         object.__setattr__(
             self, "remat_down", tuple(int(k) for k in self.remat_down))
+        # hashable (jit-static) + JSON-round-trip-safe routing pairs
+        object.__setattr__(
+            self, "routing",
+            tuple((str(k), str(v)) for k, v in self.routing))
         if self.df_resolution not in ("level_res", "full_res"):
             raise ValueError(f"df_resolution={self.df_resolution!r} not a known option.")
         if self.regularizer not in ("L2", "jdet"):

@@ -122,8 +122,12 @@ class Evaluate:
             # enable the coarse-offset warp tier (24-36x over the
             # gather fallback in that regime, PERF.md; opt-in on other
             # tasks because compiling the extra branch costs -12.9%
-            # composed on OASIS-scale fields that never take it)
-            os.environ.setdefault("PULPO_WARP_COARSE", "1")
+            # composed on OASIS-scale fields that never take it).
+            # Routed through the config-owned routing overlay (env
+            # still overrides) — VERDICT r4 #8.
+            from pulpo_tpu import routing as _routing
+
+            _routing.overlay({"PULPO_WARP_COARSE": "1"})
             loaders = create_data_loaders(1, segs=segs, lms=lms, mask=mask,
                                           ndims=ndims, path=path)
             self.loaders = list(loaders)

@@ -10,12 +10,13 @@ import os
 
 import jax
 
-# Global switch (config.use_pallas gates per-model; this gates per-process)
-USE_PALLAS = os.environ.get("PULPO_USE_PALLAS", "1") == "1"
-
-
 def pallas_available() -> bool:
-    return USE_PALLAS and jax.default_backend() == "tpu"
+    """Per-process Pallas master switch (config.use_pallas gates
+    per-model; PULPO_USE_PALLAS / config routing gate per-process)."""
+    from pulpo_tpu import routing
+
+    return routing.get("PULPO_USE_PALLAS") == "1" and \
+        jax.default_backend() == "tpu"
 
 
 from pulpo_tpu.kernels.box_sum import box_sum_nd  # noqa: E402,F401

@@ -309,7 +309,9 @@ def conv_chain_mode(x: jnp.ndarray, features: int,
     narrow-input eval chains at 3D shapes with 8-aligned depth — the
     flagship full-res down_block_0. OPT-IN via PULPO_FUSED_CONVSEQ=1
     until the composed flagship A/B lands (module docstring)."""
-    flag = os.environ.get("PULPO_FUSED_CONVSEQ", "0")
+    from pulpo_tpu import routing
+
+    flag = routing.get("PULPO_FUSED_CONVSEQ")
     if flag == "0":
         return None
     if x.ndim != 5 or x.shape[-1] > MAX_CIN or not 2 <= depth <= MAX_DEPTH:

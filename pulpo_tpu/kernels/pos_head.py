@@ -441,7 +441,9 @@ def pos_head_mode(fb: jnp.ndarray, n_up: int, n_merge: int,
     (l2's n_merge = 6*n0 = 192 exceeds the ring budget and its volume
     is below the floor anyway). OPT-IN via PULPO_FUSED_POSTHEAD=1 until
     the composed flagship A/B lands (module docstring)."""
-    flag = os.environ.get("PULPO_FUSED_POSTHEAD", "0")
+    from pulpo_tpu import routing
+
+    flag = routing.get("PULPO_FUSED_POSTHEAD")
     if flag == "0":
         return None
     if zd != 3 or fb.ndim != 5 or fb.shape[-1] > MAX_CFB:
@@ -455,7 +457,7 @@ def pos_head_mode(fb: jnp.ndarray, n_up: int, n_merge: int,
     # round-4 composed A/B ladder: l0+l1 routed = -6.0% (0.3387 vs
     # 0.3603) despite 2.53x/1.43x isolated wins — the floor lets the
     # l0-only variant be A/B'd without code churn.
-    min_vol = int(os.environ.get("PULPO_POSTHEAD_MIN_VOL", "32768"))
+    min_vol = int(routing.get("PULPO_POSTHEAD_MIN_VOL"))
     if not (S2 + 2 <= WP and S0 % BZ == 0 and S0 >= 2 * BZ
             and S0 * S1 * S2 >= min_vol):
         return None

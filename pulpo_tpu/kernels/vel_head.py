@@ -315,7 +315,9 @@ def vel_head_mode(z: jnp.ndarray, n0: int, ndims: int) -> str | None:
     harness (scripts/parity_fullres.py) keeps the bit-clean XLA
     composition; explicit PULPO_FUSED_VELHEAD=1 routes f32 too.
     PULPO_FUSED_VELHEAD=0 disables."""
-    flag = os.environ.get("PULPO_FUSED_VELHEAD", "")
+    from pulpo_tpu import routing
+
+    flag = routing.get("PULPO_FUSED_VELHEAD")
     if flag == "" and z.dtype == jnp.bfloat16:
         flag = "1"
     elif flag == "":

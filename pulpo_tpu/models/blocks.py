@@ -73,6 +73,7 @@ class _RawConv(nn.Module):
         # large-volume 3x3x3 convs: hand-written tap-sum backward (XLA's
         # conv-backward layouts 4x-pad full-res temps -> train-step OOM;
         # ops/conv.py). Forward path is identical.
+        from pulpo_tpu import routing as _routing
         from pulpo_tpu.ops.conv import conv3d_tapgrad, use_tapgrad
 
         if use_tapgrad(x, self.kernel_size, self.padding):
@@ -94,10 +95,8 @@ class _RawConv(nn.Module):
         # PULPO_NO_CONVPAD=1 disables the pad (for algorithmic-FLOP
         # accounting via cost_analysis — PERF.md roofline; never set it
         # on a perf path)
-        import os as _os
-
         if ndims == 3 and 96 <= cin < 128 and 96 <= cout < 128 \
-                and not _os.environ.get("PULPO_NO_CONVPAD"):
+                and not _routing.get("PULPO_NO_CONVPAD"):
             x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, 128 - cin),))
             kernel = jnp.pad(
                 kernel, ((0, 0),) * ndims + ((0, 128 - cin), (0, 128 - cout)))

@@ -87,9 +87,15 @@ def export_model(model, variables, path: str, batch_size: int = 1,
     x_s = jax.ShapeDtypeStruct((batch_size, *cfg.input_size, 1), jnp.float32)
     seed_s = jax.ShapeDtypeStruct((), jnp.uint32)
 
+    from pulpo_tpu import routing as _routing
+
     manifest: dict[str, Any] = {
         "format_version": FORMAT_VERSION,
         "config": dataclasses.asdict(cfg),
+        # resolved kernel-routing table at export time (env + config +
+        # defaults): the knobs that shaped the exported programs are
+        # part of the artifact's identity (VERDICT r4 #8)
+        "kernel_routing": _routing.resolved_table(),
         "batch_size": batch_size,
         "N": N,
         "baked_weights": bake_weights,

@@ -29,6 +29,13 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer()
         self.best = {"total_loss": float("inf"), "reconstruction_loss": float("inf")}
         (self.run_dir / "config.json").write_text(cfg.to_json())
+        # resolved kernel-routing table alongside the config: the
+        # routing that trained a checkpoint is reproducible state
+        # (VERDICT r4 #8)
+        from pulpo_tpu import routing as _routing
+
+        (self.run_dir / "kernel_routing.json").write_text(
+            json.dumps(_routing.resolved_table(), indent=1))
         self._meta_path = self.run_dir / "checkpoints.json"
         if self._meta_path.exists():
             self.best.update(json.loads(self._meta_path.read_text()).get("best", {}))

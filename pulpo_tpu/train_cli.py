@@ -93,9 +93,6 @@ def main(args=None):
         train_loader, val_loader = loaders[0], loaders[1]
         input_size = train_loader.dataset.input_size
     elif args.dataset == "lungct":
-        # large-deformation regime: enable the coarse-offset warp tier
-        # (see eval/evaluator.py lungct note / PERF.md coarse table)
-        os.environ.setdefault("PULPO_WARP_COARSE", "1")
         from pulpo_tpu.data import lungct
 
         loaders = lungct.create_data_loaders(
@@ -117,7 +114,13 @@ def main(args=None):
     else:
         raise ValueError("Dataset not recognized.")
 
+    # large-deformation regime (lungct): the coarse-offset warp tier
+    # rides the CONFIG routing (env still overrides) — see
+    # eval/evaluator.py lungct note / PERF.md coarse table
+    routing = ((("PULPO_WARP_COARSE", "1"),)
+               if args.dataset == "lungct" else ())
     cfg = PULPoConfig(
+        routing=routing,
         input_size=tuple(int(s) for s in input_size),
         total_levels=args.total_levels,
         latent_levels=args.latent_levels,
