@@ -34,11 +34,14 @@ import os
 import jax
 import jax.numpy as jnp
 
-# spatial-volume threshold above which ConvUnit routes through the
-# tap-sum backward (full-res 160x192x224 = 6.9M; the largest latent-res
-# level is 80x96x112 = 0.86M and stays on the XLA vjp)
-TAPGRAD_MIN_VOXELS = int(os.environ.get("PULPO_CONV_TAPGRAD_MIN_VOXELS",
-                                        str(4 * 2**20)))
+from pulpo_tpu import routing
+
+
+def TAPGRAD_MIN_VOXELS() -> int:
+    """Spatial-volume threshold above which ConvUnit routes through the
+    tap-sum backward (full-res 160x192x224 = 6.9M; the largest latent-
+    res level is 80x96x112 = 0.86M and stays on the XLA vjp)."""
+    return int(routing.get("PULPO_CONV_TAPGRAD_MIN_VOXELS"))
 
 
 def _dn(nd: int) -> jax.lax.ConvDimensionNumbers:
@@ -81,59 +84,53 @@ def _tapgrad_bwd(res, g):
     for s in spatial:
         n *= s
 
-    # operands stay in their native (usually bf16) dtype — the MXU
-    # accumulates in f32 via preferred_element_type; upcasting first
-    # would double the HBM read traffic of every per-tap matmul
-    kf = k.reshape(-1, ci, co)  # (K^3, Ci, Co)
+    # dL/dx: a SAME stride-1 conv's input gradient IS a forward conv
+    # of the cotangent with the spatially-flipped, ci/co-swapped
+    # kernel — and lax.conv with an ordinary kernel operand uses XLA's
+    # FORWARD emitter, not the conv-backward-input emitter whose
+    # tap-expanded layouts caused the round-3 OOM. Round-5 bisect
+    # finding: the previous formulation (27 shifted matmuls in a
+    # fori_loop) re-read and re-wrote the (n, Ci) f32 dx accumulator
+    # every tap (~47 GB of HBM traffic per full-res conv vs ~1.3 GB
+    # useful); the forward conv runs at the measured per-shape conv
+    # rate instead (PERF.md conv table). Bonus: with dx out of the
+    # loop carry, XLA can DCE it entirely where the input gradient is
+    # unused (the DownPath's first conv — its input is the data).
+    k_rev = jnp.flip(k, (0, 1, 2)).swapaxes(-1, -2)  # (K,K,K,Co,Ci)
+    dx = _conv_xla(g, k_rev)
+
+    # dL/dk[t] = x_pad[t:t+S]^T @ g with x padded by p per axis: K^3
+    # shifted matmuls in a fori_loop. The dk accumulator is tiny
+    # (K^3, Ci, Co), so the loop's HBM cost is the per-tap re-read of
+    # the shifted x window + g (~24 GB at full res B=1) — still far
+    # cheaper than XLA's conv-backward-weights emitter, whose
+    # tap-expanded relayout of the saved activations is the round-3
+    # OOM class. Operands stay in their native (usually bf16) dtype —
+    # the MXU accumulates in f32 via preferred_element_type.
     gr = g.reshape(n, co)
-
-    # dL/dx[u] = sum_t g[u + p - t] @ k[t]^T  == conv(g, flip(k)^T):
-    # pad g by p per spatial axis, slice at (K-1-t) per tap.
-    gp = jnp.pad(g, ((0, 0),) + ((p, p),) * 3 + ((0, 0),))
-    # dL/dk[t] = x_pad[t:t+S]^T @ g  with x padded by p per axis.
     xp = jnp.pad(x, ((0, 0),) + ((p, p),) * 3 + ((0, 0),))
-
-    # The taps run in a fori_loop, NOT fully unrolled: unrolled, XLA
-    # keeps all K^3 sliced (b, *spatial, C) operands live at once
-    # (measured: 16+ resident 672M dynamic_slice temps at full res ->
-    # 20G, still OOM). Sequentialized, one slice pair exists at a time
-    # — but then the f32 dx accumulator (n, Ci) is re-read and
-    # re-written EVERY tap (~1.8 GB/tap at full res B=1, the dominant
-    # backward HBM traffic). PULPO_TAPGRAD_UNROLL=U (U in {1, 3, 9},
-    # default 1) unrolls U taps per loop body: the accumulator round-
-    # trips K^3/U times instead of K^3, at the cost of U slice temps
-    # coexisting (~0.67 GB each at full res B=1) — size U to HBM.
-    unroll = int(os.environ.get("PULPO_TAPGRAD_UNROLL", "1"))
+    unroll = int(routing.get("PULPO_TAPGRAD_UNROLL"))
     if K**3 % unroll != 0:
         unroll = 1
 
-    def body(tg, carry):
-        dx_acc, dk_acc = carry
+    def body(tg, dk_acc):
         for j in range(unroll):
             t = tg * unroll + j
             tz = t // (K * K)
             ty = (t // K) % K
             tx = t % K
-            sl_g = jax.lax.dynamic_slice(
-                gp, (0, K - 1 - tz, K - 1 - ty, K - 1 - tx, 0),
-                (b, *spatial, co)).reshape(n, co)
-            dx_acc = dx_acc + jax.lax.dot_general(
-                sl_g, kf[t], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
             sl_x = jax.lax.dynamic_slice(
                 xp, (0, tz, ty, tx, 0), (b, *spatial, ci)).reshape(n, ci)
             dk_t = jax.lax.dot_general(
                 sl_x, gr, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dk_acc = jax.lax.dynamic_update_index_in_dim(dk_acc, dk_t, t, 0)
-        return dx_acc, dk_acc
+        return dk_acc
 
-    dx, dk = jax.lax.fori_loop(
-        0, K**3 // unroll, body,
-        (jnp.zeros((n, ci), jnp.float32),
-         jnp.zeros((K**3, ci, co), jnp.float32)))
+    dk = jax.lax.fori_loop(
+        0, K**3 // unroll, body, jnp.zeros((K**3, ci, co), jnp.float32))
 
-    dx = dx.reshape(x.shape).astype(x.dtype)
+    dx = dx.astype(x.dtype)
     dk = dk.reshape(k.shape).astype(k.dtype)
     return dx, dk
 
@@ -145,7 +142,7 @@ def use_tapgrad(x: jnp.ndarray, kernel_size: int, padding) -> bool:
     """Route policy: 3-D SAME odd-kernel convs over large volumes on
     TPU (where the XLA conv-backward layouts explode; see module
     docstring). Threshold via PULPO_CONV_TAPGRAD_MIN_VOXELS."""
-    if os.environ.get("PULPO_NO_TAPGRAD"):
+    if routing.get("PULPO_NO_TAPGRAD"):
         return False
     if x.ndim != 5 or kernel_size < 3 or kernel_size % 2 != 1 \
             or padding != "SAME":
@@ -153,4 +150,4 @@ def use_tapgrad(x: jnp.ndarray, kernel_size: int, padding) -> bool:
     vol = 1
     for s in x.shape[1:-1]:
         vol *= s
-    return vol >= TAPGRAD_MIN_VOXELS
+    return vol >= TAPGRAD_MIN_VOXELS()
