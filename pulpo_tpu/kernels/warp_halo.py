@@ -42,6 +42,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pulpo_tpu.kernels.warp_local import _pick_slab, _round_up
 
+
+def _routing_get(name: str) -> str:
+    from pulpo_tpu import routing
+
+    return routing.get(name)
+
 # largest tap count whose (oy, ox) chain is fully unrolled in-kernel.
 # Bigger tap counts would need a dynamic-start sublane slice per oy,
 # which real Mosaic rejects — those tiers exist for interpret mode only.
@@ -59,11 +65,15 @@ UNROLL_TAPS_MAX = 12
 # l1 shapes (> the 16M limit, breaks the UQ compile). Forcing bigger
 # z-slabs (PULPO_WARP_BZ=2 at full res) crashes the relay's compile
 # helper outright — slabs stay auto-sized.
-INLINE_W_TAPS = int(os.environ.get("PULPO_WARP_INLINE_W", "8"))
+def INLINE_W_TAPS() -> int:
+    from pulpo_tpu import routing
+
+    return int(routing.get("PULPO_WARP_INLINE_W"))
 
 
 def _halo_tap_accumulate(mbuf, dbuf, z0, *, bz: int, halo: int, spatial,
-                         c: int, coarse=None):
+                         c: int, coarse=None, moy: int = 0, mox: int = 0,
+                         doff: int = 0):
     """Accumulate the (2H+2)^3 hat-weighted taps of one z-slab whose
     first output slice sits at (dynamic) global z `z0`. Shared by the
     per-slab-grid kernel and the internal-z-loop kernel — identical
@@ -74,7 +84,14 @@ def _halo_tap_accumulate(mbuf, dbuf, z0, *, bz: int, halo: int, spatial,
     large-displacement tier's per-slab/per-row integer offsets. The
     moving window the caller DMA'd is already positioned at +coarse, so
     the stencil sees the RESIDUAL offset rel - coarse; the tap geometry
-    is unchanged (kernels/warp_halo.py coarse tier, round 4)."""
+    is unchanged (kernels/warp_halo.py coarse tier, round 4).
+
+    `moy`/`mox`: static y/x offsets of the moving interior within
+    `mbuf` beyond the usual halo position (0 for the channels-last
+    wrappers, which pad the interior to exactly (H, H); the CF pipeline
+    passes moff - halo when the operand carries a larger interior
+    offset). `doff`: static y/x offset of the df interior within
+    `dbuf` (1 for layout-A CF fields, else 0)."""
     S0, S1, S2 = spatial
     taps = 2 * halo + 2
 
@@ -85,7 +102,7 @@ def _halo_tap_accumulate(mbuf, dbuf, z0, *, bz: int, halo: int, spatial,
     gx = jax.lax.broadcasted_iota(jnp.int32, shape, 2).astype(jnp.float32)
     rel = []
     for a, g, s in ((0, gz, S0), (1, gy, S1), (2, gx, S2)):
-        loc = g + dbuf[a, :, :S1, :S2]
+        loc = g + dbuf[a, :, doff:doff + S1, doff:doff + S2]
         src = jnp.clip(loc * (s / (s - 1.0)) - 0.5, 0.0, s - 1.0)
         r = src - g  # in [-H, H+1] under the caller's guard
         if coarse is not None:
@@ -108,7 +125,7 @@ def _halo_tap_accumulate(mbuf, dbuf, z0, *, bz: int, halo: int, spatial,
     # sublane-dim slice starts ("cannot statically prove index is a
     # multiple of 8") — that path is interpret-only; hardware tiers are
     # capped at UNROLL_TAPS_MAX (see halo_cascade).
-    inline_w = taps > INLINE_W_TAPS or c == 1
+    inline_w = taps > INLINE_W_TAPS() or c == 1
     wx = None if inline_w else [hat(rel[2], float(ox - halo))
                                 for ox in range(taps)]
     wy = ([hat(rel[1], float(oy - halo)) for oy in range(taps)]
@@ -123,7 +140,8 @@ def _halo_tap_accumulate(mbuf, dbuf, z0, *, bz: int, halo: int, spatial,
                     w = wzy * hat(rel[2], float(ox - halo))
                     acc = tuple(
                         acc[ch] + w * mbuf[ch, pl.ds(oz, bz),
-                                           oy:oy + S1, ox:ox + S2]
+                                           moy + oy:moy + oy + S1,
+                                           mox + ox:mox + ox + S2]
                         for ch in range(c))
             return acc
         if wy is not None:
@@ -133,7 +151,8 @@ def _halo_tap_accumulate(mbuf, dbuf, z0, *, bz: int, halo: int, spatial,
                     w = wzy * wx[ox]
                     acc = tuple(
                         acc[ch] + w * mbuf[ch, pl.ds(oz, bz),
-                                           oy:oy + S1, ox:ox + S2]
+                                           moy + oy:moy + oy + S1,
+                                           mox + ox:mox + ox + S2]
                         for ch in range(c))
             return acc
 
@@ -143,7 +162,8 @@ def _halo_tap_accumulate(mbuf, dbuf, z0, *, bz: int, halo: int, spatial,
                 w = wzy * wx[ox]
                 acc_y = tuple(
                     acc_y[ch] + w * mbuf[ch, pl.ds(oz, bz),
-                                         pl.ds(oy, S1), ox:ox + S2]
+                                         pl.ds(moy + oy, S1),
+                                         mox + ox:mox + ox + S2]
                     for ch in range(c))
             return acc_y
 
@@ -155,7 +175,8 @@ def _halo_tap_accumulate(mbuf, dbuf, z0, *, bz: int, halo: int, spatial,
 
 
 def _warp_halo_kernel(mov_hbm, df_hbm, out_ref, mbuf, dbuf, sem_m, sem_d, *,
-                      bz: int, halo: int, spatial, c: int, b_mov: int):
+                      bz: int, halo: int, spatial, c: int, b_mov: int,
+                      moff: int | None = None, doff: int = 0):
     """One (b_df, z-slab) grid step: out = trilinear(moving, grid + df).
 
     mov_hbm: (B, C, S0 + 2H + 1, s1p, s2p) zero-padded, tile-aligned
@@ -164,23 +185,33 @@ def _warp_halo_kernel(mov_hbm, df_hbm, out_ref, mbuf, dbuf, sem_m, sem_d, *,
     hat weight max(0, 1 - |rel - o|) is nonzero for exactly the two
     integer corners of each voxel, so zero padding is exact (clamped
     coordinates keep all nonzero-weight taps inside the volume).
-    """
+
+    CF-pipeline generalization (round 5): `moff`/`doff` are the static
+    per-axis interior offsets of the moving / df arrays when the caller
+    hands over already-channels-first operands whose interior does not
+    sit at exactly (H,H,H) / (0,0,0) — e.g. the layout-A squaring
+    fields (doff=1). Defaults reproduce the original addressing
+    bit-for-bit (moff=halo, doff=0)."""
     b = pl.program_id(0)
     zi = pl.program_id(1)
     taps = 2 * halo + 2
+    if moff is None:
+        moff = halo
 
     dma_m = pltpu.make_async_copy(
-        mov_hbm.at[jax.lax.rem(b, b_mov), :, pl.ds(zi * bz, bz + taps - 1)],
+        mov_hbm.at[jax.lax.rem(b, b_mov), :,
+                   pl.ds(zi * bz + moff - halo, bz + taps - 1)],
         mbuf, sem_m)
     dma_d = pltpu.make_async_copy(
-        df_hbm.at[b, :, pl.ds(zi * bz, bz)], dbuf, sem_d)
+        df_hbm.at[b, :, pl.ds(zi * bz + doff, bz)], dbuf, sem_d)
     dma_m.start()
     dma_d.start()
     dma_m.wait()
     dma_d.wait()
 
     acc = _halo_tap_accumulate(mbuf, dbuf, zi * bz, bz=bz, halo=halo,
-                               spatial=spatial, c=c)
+                               spatial=spatial, c=c, moy=moff - halo,
+                               mox=moff - halo, doff=doff)
     out_ref[0] = jnp.stack(list(acc), axis=0)
 
 
@@ -234,7 +265,9 @@ def use_zloop() -> bool:
     in-kernel). OPT-IN via PULPO_WARP_ZLOOP=1 until the composed
     flagship A/B lands (round-3 rule: no default flips without a
     full-bench win)."""
-    return os.environ.get("PULPO_WARP_ZLOOP", "0") == "1"
+    from pulpo_tpu import routing
+
+    return routing.get("PULPO_WARP_ZLOOP") == "1"
 
 
 def _halo_bz(S0: int, S1: int, S2: int, taps: int, c: int,
@@ -248,13 +281,15 @@ def _halo_bz(S0: int, S1: int, S2: int, taps: int, c: int,
     est 6.8M -> actual 31.5M at taps=8, 80x96x112, bz=4), so the budget
     is 3M of the 16M limit — level-res shapes land on bz=1-2, full-res
     was already there. PULPO_WARP_BZ overrides for tuning."""
-    env_bz = os.environ.get("PULPO_WARP_BZ")
+    from pulpo_tpu import routing
+
+    env_bz = routing.get("PULPO_WARP_BZ")
     if env_bz:
         target = int(env_bz)
     else:
         # budget with the PRECOMPUTED path's live set even when c==1
         # inlines: same (validated) bz choice, strictly less VMEM
-        n_w = 4 if taps > INLINE_W_TAPS else 2 * taps
+        n_w = 4 if taps > INLINE_W_TAPS() else 2 * taps
         target = 8
         while target > 1:
             est = 4 * (c * (target + taps - 1) * s1p * s2p        # mbuf
@@ -392,7 +427,10 @@ def _warp_halo_pallas(moving: jnp.ndarray, df: jnp.ndarray, halo: int,
 # XLA gather as the final fallback — every branch exact.
 # ---------------------------------------------------------------------------
 
-COARSE_CMAX = int(os.environ.get("PULPO_WARP_COARSE_CMAX", "24"))
+def COARSE_CMAX() -> int:
+    from pulpo_tpu import routing
+
+    return int(routing.get("PULPO_WARP_COARSE_CMAX"))
 
 
 def use_coarse() -> bool:
@@ -403,8 +441,17 @@ def use_coarse() -> bool:
     round-4 bench A/B — the same program-surface tax that killed three
     round-3 'free' additions). Set it for large-deformation regimes
     (LungCT inspiration/expiration, BASELINE config 3), where it is
-    24-36x over the gather fallback (PERF.md coarse-tier table)."""
-    return os.environ.get("PULPO_WARP_COARSE", "0") == "1"
+    24-36x over the gather fallback (PERF.md coarse-tier table).
+
+    Scope: FORWARD warps only — the backward cascades
+    (_dfgrad_cascaded / _mgrad_cascaded) have no coarse branch, so
+    large-displacement df-gradients in TRAINING still take the exact
+    scalar-core XLA vjp fallback (correct, slow). A coarse mgrad/dfgrad
+    tier is future work if LungCT training throughput matters
+    (ADVICE r4 #3)."""
+    from pulpo_tpu import routing
+
+    return routing.get("PULPO_WARP_COARSE") == "1"
 
 
 def _rel_coords(df: jnp.ndarray):
@@ -433,11 +480,11 @@ def coarse_offsets(df: jnp.ndarray, b_mov: int, bz: int):
     nz = S0 // bz
     relz, rely, relx = _rel_coords(df)
     cz = jnp.round(relz.reshape(b_df, nz, -1).mean(-1)).astype(jnp.int32)
-    cz = jnp.clip(cz, -COARSE_CMAX, COARSE_CMAX)
+    cz = jnp.clip(cz, -COARSE_CMAX(), COARSE_CMAX())
     grp = lambda r: r.reshape(b_df // b_mov, b_mov, -1).mean((0, 2))
     cyx = jnp.stack([jnp.round(grp(rely)), jnp.round(grp(relx))],
                     axis=-1).astype(jnp.int32)
-    cyx = jnp.clip(cyx, -COARSE_CMAX, COARSE_CMAX)
+    cyx = jnp.clip(cyx, -COARSE_CMAX(), COARSE_CMAX())
     return cz, cyx
 
 
@@ -514,7 +561,7 @@ def _warp_halo_coarse_pallas(moving: jnp.ndarray, df: jnp.ndarray,
     S0, S1, S2 = spatial
     orig_dtype = moving.dtype
     taps = 2 * halo + 2
-    cmax = COARSE_CMAX
+    cmax = COARSE_CMAX()
 
     mcf = jnp.transpose(moving.astype(jnp.float32), (0, 4, 1, 2, 3))
     dcf = jnp.transpose(df.astype(jnp.float32), (0, 4, 1, 2, 3))
@@ -801,7 +848,7 @@ def _warp_halo_dfgrad_pallas(moving: jnp.ndarray, df: jnp.ndarray,
     gp = jnp.pad(gcf, ((0, 0), (0, 0), (0, 0),
                        (0, s1d - S1), (0, s2d - S2)))
 
-    env_bz = os.environ.get("PULPO_WARP_BZ")
+    env_bz = _routing_get("PULPO_WARP_BZ")
     if bz_override:
         target = bz_override
     elif env_bz:
@@ -1104,7 +1151,9 @@ def repair_fracs() -> tuple[float, ...]:
     large-displacement tails) hit the 0.1% tier at ~0.2 s overhead;
     init-state dfs (broader tails) still clear the 2% tier at ~0.7 s —
     both far under the 4.5 s full XLA gather."""
-    spec = os.environ.get("PULPO_WARP_REPAIR_FRAC", "0.001,0.02")
+    from pulpo_tpu import routing
+
+    spec = routing.get("PULPO_WARP_REPAIR_FRAC")
     return tuple(sorted(float(f) for f in spec.split(",") if f))
 
 
@@ -1126,16 +1175,35 @@ def _repair_indices(bad_flat: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _exact_warp_rows(moving: jnp.ndarray, flat_idx: jnp.ndarray,
-                     df_rows: jnp.ndarray) -> jnp.ndarray:
+                     df_rows: jnp.ndarray,
+                     cf_layout: tuple | None = None) -> jnp.ndarray:
     """Exact trilinear warp values (K, C) at K flattened (b_df, *spatial)
     output voxels, given their displacement rows (K, nd). Bit-matches
     ops/warp.py:warp_image (same coordinate/corner/weight formulas), so
-    jax.vjp of this in `df_rows` is the exact per-point df-cotangent."""
-    spatial = moving.shape[1:-1]
-    ndims = len(spatial)
-    b = moving.shape[0]
-    c = moving.shape[-1]
-    nvox = math.prod(spatial)
+    jax.vjp of this in `df_rows` is the exact per-point df-cotangent.
+
+    `cf_layout=(spatial, moff)`: `moving` is a CF halo-padded
+    (B, C, zp, yp, xp) array with interior at offset `moff` per axis
+    (the CF cascade's operand) — the corner gathers remap through the
+    padded strides; weights/sums are unchanged, so results stay
+    bit-identical to the channels-last call."""
+    if cf_layout is not None:
+        spatial, moff = cf_layout
+        ndims = len(spatial)
+        b = moving.shape[0]
+        c = moving.shape[1]
+        nvox = math.prod(spatial)
+        zp, yp, xp = moving.shape[2:]
+        pad_strides = (yp * xp, xp, 1)
+        base_off = moff * sum(pad_strides)
+        flat_ch = [moving[:, ci].reshape(-1) for ci in range(c)]
+        vol_stride = zp * yp * xp
+    else:
+        spatial = moving.shape[1:-1]
+        ndims = len(spatial)
+        b = moving.shape[0]
+        c = moving.shape[-1]
+        nvox = math.prod(spatial)
 
     bi = flat_idx // nvox
     r = flat_idx % nvox
@@ -1156,13 +1224,17 @@ def _exact_warp_rows(moving: jnp.ndarray, flat_idx: jnp.ndarray,
         i1.append(jnp.minimum(idx0 + 1, s - 1))
         w.append(src - f)
 
-    strides = []
-    acc = 1
-    for s in reversed(spatial):
-        strides.append(acc)
-        acc *= s
-    strides = strides[::-1]
-    base = (bi % b) * nvox
+    if cf_layout is not None:
+        strides = list(pad_strides)
+        base = (bi % b) * vol_stride + base_off
+    else:
+        strides = []
+        acc = 1
+        for s in reversed(spatial):
+            strides.append(acc)
+            acc *= s
+        strides = strides[::-1]
+        base = (bi % b) * nvox
 
     out = None
     for corner in range(2**ndims):
@@ -1174,8 +1246,12 @@ def _exact_warp_rows(moving: jnp.ndarray, flat_idx: jnp.ndarray,
             wax = w[ax] if hi else (1.0 - w[ax])
             idx = idx + iax * strides[ax]
             weight = wax if weight is None else weight * wax
-        chans = [jnp.take(moving[..., ci].reshape(-1).astype(jnp.float32),
-                          idx, axis=0) for ci in range(c)]
+        if cf_layout is not None:
+            chans = [jnp.take(flat_ch[ci].astype(jnp.float32), idx, axis=0)
+                     for ci in range(c)]
+        else:
+            chans = [jnp.take(moving[..., ci].reshape(-1).astype(jnp.float32),
+                              idx, axis=0) for ci in range(c)]
         contrib = jnp.stack(chans, axis=-1) * weight[:, None]
         out = contrib if out is None else out + contrib
     return out
@@ -1210,7 +1286,9 @@ def halo_cascade() -> tuple[int, ...]:
     for dynamic sublane slices) — measured round 3, don't raise this
     outside interpret mode.
     """
-    spec = os.environ.get("PULPO_WARP_HALO", "2,3")
+    from pulpo_tpu import routing
+
+    spec = routing.get("PULPO_WARP_HALO")
     return tuple(int(h) for h in spec.split(",") if h)
 
 
@@ -1377,6 +1455,271 @@ def _wc_bwd(interpret, res, g):
 warp_cascaded_grad.defvjp(_wc_fwd, _wc_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Channels-first (CF) cascade — round 5, PERF.md lever 1.
+#
+# Same tier ladder / repair / guard semantics as `warp_cascaded`, but
+# the df operand arrives ALREADY in the kernels' channels-first
+# tile-padded layout (and the moving operand in CF halo-padded form),
+# so the per-call CL->CF transpose + pad staging — the dominant
+# "pallas custom-call staging" byte class of the round-3 HLO
+# accounting — never exists. Two df layouts are accepted, described by
+# the static per-axis interior offset `doff`:
+#
+#   doff=1: layout A of the squaring chain (kernels/warp_local.cf_pad):
+#           (B, 3, S0+2, r8(S1+2), r128(S2+2)).
+#   doff=0: resize-native layout (ops/warp.resize_vecfield_cf):
+#           (B, 3, S0, r8(S1), r128(S2)) — bit-identical to the dp the
+#           channels-last wrapper builds internally.
+#
+# Pad contents only need to be FINITE (out-of-volume taps carry hat
+# weight exactly 0 under the border clamp); the sparse repair and the
+# terminal gather read interior voxels only. Every branch bit-matches
+# its channels-last counterpart (tests/test_cf.py).
+# ---------------------------------------------------------------------------
+
+
+def _rel_coords_cf(dcf: jnp.ndarray, spatial, doff: int):
+    """Per-axis source offsets rel = clip(src) - g computed from a CF
+    padded df; bit-matches `_rel_coords` on the interior."""
+    S0, S1, S2 = spatial
+    d = dcf[:, :, doff:doff + S0, doff:doff + S1, doff:doff + S2]
+    rels = []
+    for a, s in enumerate(spatial):
+        g = jax.lax.broadcasted_iota(jnp.float32, spatial, a)
+        loc = g[None] + d[:, a].astype(jnp.float32)
+        src = jnp.clip(loc * (s / (s - 1.0)) - 0.5, 0.0, s - 1.0)
+        rels.append(src - g[None])
+    return rels
+
+
+def halo_bound_ok_cf(dcf: jnp.ndarray, spatial, doff: int,
+                     halo: int) -> jnp.ndarray:
+    ok = jnp.bool_(True)
+    for r in _rel_coords_cf(dcf, spatial, doff):
+        ok &= (jnp.min(r) >= -float(halo)) & (jnp.max(r) <= float(halo) + 1.0)
+    return ok
+
+
+def halo_bad_mask_cf(dcf: jnp.ndarray, spatial, doff: int,
+                     halo: int) -> jnp.ndarray:
+    bad = None
+    for r in _rel_coords_cf(dcf, spatial, doff):
+        b = (r < -float(halo)) | (r > float(halo) + 1.0)
+        bad = b if bad is None else bad | b
+    return bad
+
+
+def _df_rows_cf(dcf: jnp.ndarray, spatial, doff: int,
+                flat_idx: jnp.ndarray) -> jnp.ndarray:
+    """(K, 3) df values at K flattened interior (b_df, *spatial) voxels,
+    gathered straight from the padded CF planes (pure index remap — the
+    interior is never materialized)."""
+    S0, S1, S2 = spatial
+    nvox = S0 * S1 * S2
+    zp, yp, xp = dcf.shape[2:]
+    bi = flat_idx // nvox
+    r = flat_idx % nvox
+    gx = r % S2
+    gy = (r // S2) % S1
+    gz = r // (S1 * S2)
+    pidx = ((bi * zp + gz + doff) * yp + gy + doff) * xp + gx + doff
+    return jnp.stack(
+        [jnp.take(dcf[:, a].reshape(-1), pidx, axis=0) for a in range(3)],
+        axis=-1)
+
+
+def warp_repaired_cf(mp: jnp.ndarray, dcf: jnp.ndarray, bad: jnp.ndarray,
+                     halo: int, k: int, *, spatial, c: int, b_mov: int,
+                     moff: int, doff: int,
+                     interpret: bool = False) -> jnp.ndarray:
+    """CF `warp_repaired`: H-stencil everywhere + exact sparse fix-up of
+    the <= k out-of-bound voxels, scattered into the CF output."""
+    out = _warp_halo_pallas_cf(mp, dcf, halo, spatial=spatial, c=c,
+                               b_mov=b_mov, moff=moff, doff=doff,
+                               interpret=interpret)
+    S0, S1, S2 = spatial
+    nvox = S0 * S1 * S2
+    idx = _repair_indices(bad.reshape(-1), k)
+    df_rows = _df_rows_cf(dcf, spatial, doff, idx)
+    vals = _exact_warp_rows(mp, idx, df_rows, cf_layout=(spatial, moff))
+    b_df = dcf.shape[0]
+    out3 = out.reshape(b_df, c, nvox)
+    bi = idx // nvox
+    vi = idx % nvox
+    out3 = out3.at[bi, :, vi].set(vals.astype(out.dtype), mode="drop")
+    return out3.reshape(out.shape)
+
+
+def _warp_halo_pallas_cf(mp: jnp.ndarray, dcf: jnp.ndarray, halo: int, *,
+                         spatial, c: int, b_mov: int, moff: int, doff: int,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Raw CF kernel wrapper: mp (B, C, S0+2H+1-ish, s1p, s2p) halo-
+    padded moving with interior at `moff`; dcf CF padded df with
+    interior at `doff`. Returns (B_df, C, S0, S1, S2) f32 — unpadded
+    channels-first (a pure reshape away from channels-last for C=1
+    image warps)."""
+    S0, S1, S2 = spatial
+    b_df = dcf.shape[0]
+    taps = 2 * halo + 2
+    s1p_m, s2p_m = mp.shape[3:]
+    s1d, s2d = dcf.shape[3:]
+    bz = _halo_bz(S0, S1, S2, taps, c, s1p_m, s2p_m, s1d, s2d)
+    kern = functools.partial(_warp_halo_kernel, bz=bz, halo=halo,
+                             spatial=spatial, c=c, b_mov=b_mov,
+                             moff=moff, doff=doff)
+    return pl.pallas_call(
+        kern,
+        grid=(b_df, S0 // bz),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, c, bz, S1, S2), lambda bi, zi: (bi, 0, zi, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_df, c, S0, S1, S2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((c, bz + taps - 1, s1p_m, s2p_m), jnp.float32),
+            pltpu.VMEM((3, bz, s1d, s2d), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=_halo_compiler_params(taps),
+        interpret=interpret,
+    )(mp, dcf)
+
+
+def _cf_virtual_cl(arr: jnp.ndarray, spatial, off: int) -> jnp.ndarray:
+    """Padded CF -> channels-last interior (materializes — terminal
+    fallback branches only)."""
+    S0, S1, S2 = spatial
+    interior = arr[:, :, off:off + S0, off:off + S1, off:off + S2]
+    return jnp.transpose(interior, (0, 2, 3, 4, 1))
+
+
+def warp_cascaded_cf(mp: jnp.ndarray, dcf: jnp.ndarray, *, spatial,
+                     c: int, b_mov: int, moff: int, doff: int,
+                     halos: tuple[int, ...] | None = None,
+                     interpret: bool = False) -> jnp.ndarray:
+    """CF `warp_cascaded`: tier ladder + sparse repair + exact terminal
+    fallback, with both operands already channels-first. Returns
+    (B_df, C, S0, S1, S2) f32."""
+    from pulpo_tpu.ops.warp import warp_image
+
+    if halos is None:
+        halos = halo_cascade()
+
+    def terminal(m, d, _b):
+        mov_cl = _cf_virtual_cl(m, spatial, moff)
+        df_cl = _cf_virtual_cl(d, spatial, doff)
+        out_cl = (warp_coarse_tier(mov_cl, df_cl, halos[-1], interpret)
+                  if (use_coarse() and halos) else warp_image(mov_cl, df_cl))
+        return jnp.transpose(out_cl, (0, 4, 1, 2, 3)).astype(jnp.float32)
+
+    if not halos:
+        return terminal(mp, dcf, None)
+    h, rest = halos[0], halos[1:]
+    if not rest:
+        nvox_total = dcf.shape[0] * math.prod(spatial)
+        ks = tuple(max(1, int(f * nvox_total)) for f in repair_fracs())
+        bad = halo_bad_mask_cf(dcf, spatial, doff, h)
+        n_bad = jnp.sum(bad)
+        branch = jnp.int32(0)
+        for k in reversed(ks):
+            branch = jnp.where(n_bad <= k, branch, branch + 1)
+        branch = jnp.where(n_bad == 0, 0, branch + 1)
+        fns = [lambda m, d, _b: _warp_halo_pallas_cf(
+            m, d, h, spatial=spatial, c=c, b_mov=b_mov, moff=moff,
+            doff=doff, interpret=interpret)]
+        fns += [functools.partial(
+            lambda m, d, b, _k: warp_repaired_cf(
+                m, d, b, h, _k, spatial=spatial, c=c, b_mov=b_mov,
+                moff=moff, doff=doff, interpret=interpret),
+            _k=k) for k in ks]
+        fns.append(terminal)
+        return jax.lax.switch(branch, fns, mp, dcf, bad)
+    return jax.lax.cond(
+        halo_bound_ok_cf(dcf, spatial, doff, h),
+        lambda m, d: _warp_halo_pallas_cf(
+            m, d, h, spatial=spatial, c=c, b_mov=b_mov, moff=moff,
+            doff=doff, interpret=interpret),
+        lambda m, d: warp_cascaded_cf(
+            m, d, spatial=spatial, c=c, b_mov=b_mov, moff=moff, doff=doff,
+            halos=rest, interpret=interpret),
+        mp, dcf)
+
+
+def _repad_layoutA_for_halo(vp: jnp.ndarray, spatial, halo: int) -> jnp.ndarray:
+    """Layout A (interior offset 1) -> the cascade kernels' moving
+    layout for tier `halo` (interior offset H, z size S0+2H+1, trailing
+    dims tile-aligned) in ONE lax.pad (negative high pads trim layout
+    A's own tile padding where the target is tighter). Zero fill keeps
+    the moving pads exact."""
+    S0, S1, S2 = spatial
+    taps = 2 * halo + 2
+    tz = S0 + 2 * halo + 1
+    ty = _round_up(S1 + taps - 1, 8)
+    tx = _round_up(S2 + taps - 1, 128)
+    zp, yp, xp = vp.shape[2:]
+    lo = halo - 1
+    cfgs = [(0, 0, 0), (0, 0, 0),
+            (lo, tz - zp - lo, 0),
+            (lo, ty - yp - lo, 0),
+            (lo, tx - xp - lo, 0)]
+    return jax.lax.pad(vp, jnp.float32(0.0), cfgs)
+
+
+def squaring_beyond_cf(vp: jnp.ndarray, spatial,
+                       halos: tuple[int, ...],
+                       interpret: bool = False) -> jnp.ndarray:
+    """Past-sub-voxel squaring step on layout A: vec + warp(vec, vec)
+    through the CF cascade — the df operand IS layout A (doff=1), the
+    moving operand is a single zero-padded CF re-pad of it, and the
+    result is re-padded back to layout A (zeros; adding them to vp's
+    finite pads keeps the pad-finiteness invariant)."""
+    S0, S1, S2 = spatial
+    b = vp.shape[0]
+    h = max(halos)
+    mp = _repad_layoutA_for_halo(vp, spatial, h)
+    w = warp_cascaded_cf(mp, vp, spatial=spatial, c=3, b_mov=b,
+                         moff=h, doff=1, halos=halos, interpret=interpret)
+    zp, yp, xp = vp.shape[2:]
+    wpad = jnp.pad(w, ((0, 0), (0, 0), (1, zp - S0 - 1),
+                       (1, yp - S1 - 1), (1, xp - S2 - 1)))
+    return vp + wpad
+
+
+def mov_to_cf(moving: jnp.ndarray, halo: int) -> jnp.ndarray:
+    """Channels-last moving image -> the cascade kernels' CF halo-padded
+    layout for tier `halo` (the staging `_warp_halo_pallas` does
+    internally, hoisted so ONE transpose+pad serves every tier of a CF
+    cascade call)."""
+    spatial = moving.shape[1:-1]
+    S0, S1, S2 = spatial
+    taps = 2 * halo + 2
+    s1p = _round_up(S1 + taps - 1, 8)
+    s2p = _round_up(S2 + taps - 1, 128)
+    mcf = jnp.transpose(moving.astype(jnp.float32), (0, 4, 1, 2, 3))
+    return jnp.pad(mcf, ((0, 0), (0, 0), (halo, halo + 1),
+                         (halo, s1p - S1 - halo), (halo, s2p - S2 - halo)))
+
+
+def warp_cascaded_cf_image(moving: jnp.ndarray, dcf: jnp.ndarray,
+                           spatial, doff: int = 0,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Warp a channels-last image by a CF padded df through the CF
+    cascade; returns channels-last (B_df, *spatial, C). For C=1 (the
+    model's image warps) the output CF->CL transpose is a pure reshape.
+    Inference path (no custom VJP): the CF decode routing is eval-only
+    (models/pulpo.py); training keeps `warp_cascaded_grad`."""
+    halos = halo_cascade()
+    h = max(halos)
+    mp = mov_to_cf(moving, h)
+    out = warp_cascaded_cf(mp, dcf, spatial=spatial, c=moving.shape[-1],
+                           b_mov=moving.shape[0], moff=h, doff=doff,
+                           halos=halos, interpret=interpret)
+    return jnp.transpose(out, (0, 2, 3, 4, 1)).astype(moving.dtype)
+
+
 def warp_applicable(moving: jnp.ndarray, df: jnp.ndarray) -> bool:
     """Static eligibility for the halo kernel: TPU, 3D, same spatial
     shape for moving and df, compatible batches, big enough to beat the
@@ -1384,7 +1727,7 @@ def warp_applicable(moving: jnp.ndarray, df: jnp.ndarray) -> bool:
     spatial = moving.shape[1:-1]
     return (
         jax.default_backend() == "tpu"
-        and not os.environ.get("PULPO_NO_PALLAS_WARP")
+        and not _routing_get("PULPO_NO_PALLAS_WARP")
         and len(spatial) == 3
         and df.shape[-1] == 3
         and df.shape[1:-1] == spatial

@@ -55,29 +55,21 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _step_kernel_3d(hbm_ref, out_ref, vbuf, sem, *, bz: int, spatial):
-    """One (b, z-slab) grid step: out = vec + trilinear(vec, grid+vec).
-
-    The input arrives padded so the DMA'd window has tile-aligned
-    trailing dims (sublane multiple of 8, lane multiple of 128 — Mosaic
-    rejects unaligned memref slices); the kernel reads only the live
-    (S1+2, S2+2) halo region.
-    """
-    b = pl.program_id(0)
-    zi = pl.program_id(1)
+def _step_accumulate(vbuf, z0, *, bz: int, spatial):
+    """Fused ``vec + trilinear(vec, grid + vec)`` over one z-slab whose
+    first output slice sits at global z ``z0``. `vbuf` is the DMA'd
+    (3, bz+2, s1p, s2p) window with the slab interior at offset (1,1,1).
+    Shared by the channels-last-facing and the chained channels-first
+    kernels — identical math, one source of truth. Returns (3, bz, S1,
+    S2) f32."""
     S0, S1, S2 = spatial
-
-    dma = pltpu.make_async_copy(
-        hbm_ref.at[b, :, pl.ds(zi * bz, bz + 2)], vbuf, sem)
-    dma.start()
-    dma.wait()
 
     center = vbuf[:, 1:bz + 1, 1:S1 + 1, 1:S2 + 1]  # (3, bz, S1, S2)
 
     # absolute source coordinates, align_corners=False + border clamp
     # (iota must be integer-typed for Mosaic; cast after)
     shape = (bz, S1, S2)
-    gz = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + zi * bz).astype(
+    gz = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + z0).astype(
         jnp.float32)
     gy = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
     gx = jax.lax.broadcasted_iota(jnp.int32, shape, 2).astype(jnp.float32)
@@ -100,7 +92,26 @@ def _step_kernel_3d(hbm_ref, out_ref, vbuf, sem, *, bz: int, spatial):
                 tap = vbuf[:, oz:oz + bz, oy:oy + S1, ox:ox + S2]
                 for c in range(3):
                     acc[c] = acc[c] + weight * tap[c]
-    out_ref[0] = jnp.stack(acc, axis=0)
+    return jnp.stack(acc, axis=0)
+
+
+def _step_kernel_3d(hbm_ref, out_ref, vbuf, sem, *, bz: int, spatial):
+    """One (b, z-slab) grid step: out = vec + trilinear(vec, grid+vec).
+
+    The input arrives padded so the DMA'd window has tile-aligned
+    trailing dims (sublane multiple of 8, lane multiple of 128 — Mosaic
+    rejects unaligned memref slices); the kernel reads only the live
+    (S1+2, S2+2) halo region.
+    """
+    b = pl.program_id(0)
+    zi = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        hbm_ref.at[b, :, pl.ds(zi * bz, bz + 2)], vbuf, sem)
+    dma.start()
+    dma.wait()
+
+    out_ref[0] = _step_accumulate(vbuf, zi * bz, bz=bz, spatial=spatial)
 
 
 def _step_kernel_2d(in_ref, out_ref, *, spatial):
@@ -357,7 +368,9 @@ def SQUARING_HALOS() -> tuple[int, ...]:
     far more live than the slab estimator assumes), so the hardware
     default stops at H=3; fields past ~2.3 voxels/axis per step use the
     sparse repair ladder, then the exact XLA gather."""
-    spec = os.environ.get("PULPO_SQUARING_HALO", "2,3")
+    from pulpo_tpu import routing
+
+    spec = routing.get("PULPO_SQUARING_HALO")
     return tuple(int(h) for h in spec.split(",") if h)
 
 
@@ -418,7 +431,8 @@ def _squaring_step_bwd(vec, g):
     the same sub-voxel bound the forward used (so fwd and bwd agree on
     which composition ran), XLA vjp otherwise."""
     import math
-    import os
+
+    from pulpo_tpu import routing
 
     # default-on since the round-3 hardware train-step drive passed
     # (full-res bench.py train mode: 0.2165 pairs/s vs 0.1648 with the
@@ -428,8 +442,8 @@ def _squaring_step_bwd(vec, g):
         vec.shape[-1] == 3
         and math.prod(vec.shape[1:-1]) >= MIN_PALLAS_VOXELS
         and jax.default_backend() == "tpu"
-        and not os.environ.get("PULPO_NO_PALLAS_WARP")
-        and not os.environ.get("PULPO_NO_PALLAS_BWD")
+        and not routing.get("PULPO_NO_PALLAS_WARP")
+        and not routing.get("PULPO_NO_PALLAS_BWD")
     )
     if not use_pallas:
         _, vjp = jax.vjp(_squaring_step_xla, vec)
@@ -472,6 +486,206 @@ def _squaring_step_bwd(vec, g):
 
 
 squaring_step.defvjp(_squaring_step_fwd, _squaring_step_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Channels-first (CF) squaring chain — round 5, PERF.md lever 1.
+#
+# The channels-last-facing `squaring_step` pays a CL->CF transpose, a
+# tile pad and a CF->CL transpose around EVERY Pallas call: at the
+# flagship config that is ~3 full-field HBM copies x 7 steps x K levels
+# per decode chunk (the "pallas custom-call staging" byte class of the
+# round-3 HLO accounting). The CF chain keeps the field in the kernels'
+# native layout BETWEEN steps instead:
+#
+#   layout A: (B, 3, S0+2, r8(S1+2), r128(S2+2)) f32, interior at
+#   offset (1, 1, 1) per spatial axis.
+#
+# The kernel consumes and produces layout A directly (manual output
+# DMA), so a chain of steps has NO XLA-side layout ops at all. Pad
+# contents: the halo/tile pads only ever need to be FINITE, not zero —
+# every out-of-volume tap position has a hat weight of exactly 0 (the
+# border clamp pins |rel - o| >= 1 there), and 0 * finite == 0. The
+# y/x pad region is zero-filled once per kernel launch; the two z pad
+# planes are rewritten from whatever finite slab data the output buffer
+# holds (see `_step_kernel_3d_cf`). Exactness: bit-identical to
+# `squaring_step` (tests/test_cf.py).
+# ---------------------------------------------------------------------------
+
+
+def cf_layout(spatial: tuple[int, int, int]) -> tuple[int, int, int]:
+    """Padded (zp, yp, xp) of layout A for an interior `spatial`."""
+    S0, S1, S2 = spatial
+    return S0 + 2, _round_up(S1 + 2, 8), _round_up(S2 + 2, 128)
+
+
+def cf_pad(vec: jnp.ndarray) -> jnp.ndarray:
+    """(B, S0, S1, S2, 3) channels-last -> layout A (zero pads)."""
+    spatial = vec.shape[1:-1]
+    S0, S1, S2 = spatial
+    zp, yp, xp = cf_layout(spatial)
+    vcf = jnp.transpose(vec.astype(jnp.float32), (0, 4, 1, 2, 3))
+    return jnp.pad(vcf, ((0, 0), (0, 0), (1, zp - S0 - 1),
+                         (1, yp - S1 - 1), (1, xp - S2 - 1)))
+
+
+def cf_unpad(vp: jnp.ndarray, spatial: tuple[int, int, int],
+             dtype=None) -> jnp.ndarray:
+    """Layout A -> (B, S0, S1, S2, 3) channels-last."""
+    S0, S1, S2 = spatial
+    interior = vp[:, :, 1:S0 + 1, 1:S1 + 1, 1:S2 + 1]
+    out = jnp.transpose(interior, (0, 2, 3, 4, 1))
+    return out if dtype is None else out.astype(dtype)
+
+
+def cf_interior(vp: jnp.ndarray, spatial: tuple[int, int, int]) -> jnp.ndarray:
+    """Layout A -> unpadded channels-first (B, 3, S0, S1, S2) view."""
+    S0, S1, S2 = spatial
+    return vp[:, :, 1:S0 + 1, 1:S1 + 1, 1:S2 + 1]
+
+
+def _step_kernel_3d_cf(hbm_ref, out_hbm, vbuf, obuf, sem_in, sem_out, *,
+                       bz: int, spatial):
+    """Layout-A-chained squaring step: one (b, z-slab) grid step reading
+    AND writing layout A, so consecutive steps need no XLA layout ops.
+
+    Output invariants: the y/x pad region of `obuf` is zero-filled once
+    (first grid step) and never touched again — every interior slab DMA
+    carries those zeros; the two z pad planes (global rows 0 and S0+1)
+    are rewritten each launch from whatever finite plane `obuf` holds
+    (zeros on the very first step, the previous row's slab after).
+    Finite-garbage pads are exact: out-of-volume taps have hat weight
+    exactly 0 (see the module comment above)."""
+    b = pl.program_id(0)
+    zi = pl.program_id(1)
+    S0, S1, S2 = spatial
+
+    dma = pltpu.make_async_copy(
+        hbm_ref.at[b, :, pl.ds(zi * bz, bz + 2)], vbuf, sem_in)
+    dma.start()
+    dma.wait()
+
+    @pl.when(jnp.logical_and(b == 0, zi == 0))
+    def _init_pads():
+        obuf[...] = jnp.zeros(obuf.shape, jnp.float32)
+
+    @pl.when(zi == 0)
+    def _z_pad_planes():
+        dma_lo = pltpu.make_async_copy(
+            obuf.at[:, 0:1], out_hbm.at[b, :, 0:1], sem_out)
+        dma_lo.start()
+        dma_lo.wait()
+        dma_hi = pltpu.make_async_copy(
+            obuf.at[:, 0:1], out_hbm.at[b, :, S0 + 1:S0 + 2], sem_out)
+        dma_hi.start()
+        dma_hi.wait()
+
+    obuf[:, :, 1:S1 + 1, 1:S2 + 1] = _step_accumulate(
+        vbuf, zi * bz, bz=bz, spatial=spatial)
+    dma_o = pltpu.make_async_copy(
+        obuf, out_hbm.at[b, :, pl.ds(zi * bz + 1, bz)], sem_out)
+    dma_o.start()
+    dma_o.wait()
+
+
+def _squaring_step_cf_pallas(vp: jnp.ndarray, spatial: tuple[int, int, int],
+                             interpret: bool = False) -> jnp.ndarray:
+    """Layout A -> layout A squaring step (sub-voxel regime)."""
+    S0, S1, S2 = spatial
+    b = vp.shape[0]
+    zp, yp, xp = vp.shape[2:]
+    assert (zp, yp, xp) == cf_layout(spatial), (vp.shape, spatial)
+    bz = _pick_slab(S0)
+    kern = functools.partial(_step_kernel_3d_cf, bz=bz, spatial=spatial)
+    return pl.pallas_call(
+        kern,
+        grid=(b, S0 // bz),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, bz + 2, yp, xp), jnp.float32),
+            pltpu.VMEM((3, bz, yp, xp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(vp)
+
+
+def _squaring_step_cf(vp: jnp.ndarray, spatial: tuple[int, int, int],
+                      interpret: bool = False) -> jnp.ndarray:
+    """Guarded layout-A squaring step: the chained CF stencil while the
+    field is sub-voxel; past the bound, the CF-native halo-tier cascade
+    (kernels/warp_halo.warp_cascaded_cf — df rides layout A straight
+    into the tier kernels, the moving operand is re-padded CF->CF with
+    a single lax.pad, no transposes anywhere)."""
+    bound = local_bound(spatial)
+    safe = jnp.max(jnp.abs(cf_interior(vp, spatial))) <= bound
+
+    def beyond(v):
+        from pulpo_tpu.kernels.warp_halo import squaring_beyond_cf
+
+        return squaring_beyond_cf(v, spatial, SQUARING_HALOS(), interpret)
+
+    return jax.lax.cond(
+        safe,
+        functools.partial(_squaring_step_cf_pallas, spatial=spatial,
+                          interpret=interpret),
+        beyond, vp)
+
+
+def integrate_cf_padded(vp: jnp.ndarray, spatial: tuple[int, int, int],
+                        nsteps: int = 7,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Scaling & squaring on layout A (input NOT yet 1/2^n scaled).
+    Callers that start channels-last use `integrate_svf_cf`."""
+    assert nsteps >= 0
+    vp = vp * (1.0 / (2 ** nsteps))
+    for _ in range(nsteps):
+        vp = _squaring_step_cf(vp, spatial, interpret)
+    return vp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def integrate_svf_cf(vec: jnp.ndarray, nsteps: int = 7,
+                     interpret: bool = False) -> jnp.ndarray:
+    """integrate_svf through the chained CF layout: ONE transpose+pad
+    in, ONE transpose out, zero XLA layout ops between the `nsteps`
+    Pallas calls. Bit-matches `integrate_svf_pallas` / `integrate_svf`
+    (every branch of every step is the same math; tests/test_cf.py).
+
+    Gradient: inference accelerator — the (unexpected) backward replays
+    through the channels-last chain's custom VJPs. Hot training paths
+    route the CL chain directly (ops/warp.integrate_svf_auto)."""
+    spatial = vec.shape[1:-1]
+    vp = cf_pad(vec)
+    vp = integrate_cf_padded(vp, spatial, nsteps, interpret)
+    return cf_unpad(vp, spatial, dtype=vec.dtype)
+
+
+def _integrate_svf_cf_fwd(vec, nsteps, interpret):
+    return integrate_svf_cf(vec, nsteps, interpret), vec
+
+
+def _integrate_svf_cf_bwd(nsteps, interpret, vec, g):
+    _, vjp = jax.vjp(lambda v: integrate_svf_pallas(v, nsteps), vec)
+    return (vjp(g)[0],)
+
+
+integrate_svf_cf.defvjp(_integrate_svf_cf_fwd, _integrate_svf_cf_bwd)
+
+
+def cf_chain_applicable(spatial: tuple[int, ...]) -> bool:
+    """Static eligibility of the CF squaring chain: 3D, big enough for
+    the stencils, roomy enough for the cascade tiers."""
+    import math as _math
+
+    return (
+        len(spatial) == 3
+        and _math.prod(spatial) >= MIN_PALLAS_VOXELS
+        and all(s >= 2 * max(SQUARING_HALOS()) + 2 for s in spatial)
+    )
 
 
 def integrate_svf_pallas(vec: jnp.ndarray, nsteps: int = 7) -> jnp.ndarray:

@@ -76,6 +76,54 @@ def combine_dfs(
     return combined, final
 
 
+def combine_dfs_cf(
+    cfg: PULPoConfig, individual_dfs: LevelDict
+) -> tuple[LevelDict, LevelDict]:
+    """`combine_dfs` with the finals emitted in the warp kernels' padded
+    channels-first layout (round-5 CF df pipeline; full_res only): the
+    mean-SVF tail's K integrations run on the chained CF layout and the
+    K re-warps consume the finals with zero staging
+    (ops/warp.batched_level_warp_cf). Interiors bit-match
+    `combine_dfs`."""
+    from pulpo_tpu.kernels.warp_local import (
+        cf_chain_applicable,
+        cf_interior,
+        cf_pad,
+        integrate_cf_padded,
+    )
+    from pulpo_tpu.ops.warp import cf_interpret, resize_vecfield_cf
+
+    assert cfg.df_resolution == "full_res", "CF finals need full_res dfs"
+    combined: LevelDict = {}
+    K = cfg.latent_levels
+    for l in reversed(range(K)):
+        if l + 1 in combined:
+            in_sz = individual_dfs[l].shape[1:-1]
+            parent_sz = individual_dfs[l + 1].shape[1:-1]
+            vel_resize = 1.0 / (in_sz[0] / parent_sz[0])
+            combined[l] = individual_dfs[l] + resize_vecfield(
+                combined[l + 1], vel_resize, out_size=in_sz
+            )
+        else:
+            combined[l] = individual_dfs[l]
+
+    final: LevelDict = {}
+    for l in reversed(range(K)):
+        cur_sz = combined[l].shape[1:-1]
+        if cf_chain_applicable(cur_sz):
+            vp = cf_pad(combined[l].astype(jnp.float32))
+            vp = integrate_cf_padded(vp, cur_sz, cfg.nsteps, cf_interpret())
+            interior = cf_interior(vp, cur_sz)
+        else:
+            integ = integrate_svf_auto(
+                combined[l].astype(jnp.float32), nsteps=cfg.nsteps,
+                allow_cf=False)
+            interior = jnp.transpose(integ, (0, 4, 1, 2, 3))
+        vel_resize = 1.0 / (cfg.input_size[0] / cur_sz[0])
+        final[l] = resize_vecfield_cf(interior, vel_resize, cfg.input_size)
+    return combined, final
+
+
 def transform_segmentation(cfg: PULPoConfig, dfs: LevelDict, seg: jnp.ndarray) -> LevelDict:
     """Warp a segmentation pyramid by per-level final dfs
     (models.py:370-388)."""
@@ -108,6 +156,11 @@ class PULPoModel:
         self.cfg = cfg
         self.dtype = dtype
         self.module = PULPoModule(cfg, dtype=dtype, bn_axis_name=bn_axis_name)
+        # install the config-owned kernel routing (env still overrides)
+        # and log the resolved table once per distinct state
+        from pulpo_tpu import routing as _routing
+
+        _routing.activate(cfg.routing)
 
     # ------------------------------------------------------------------
     def init(self, rng: jax.Array, batch_size: int = 1):

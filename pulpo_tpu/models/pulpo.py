@@ -123,12 +123,20 @@ class SVFDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, z, input_image, combined_df=None, train: bool = True,
-                 do_warp: bool = True):
+                 do_warp: bool = True, cf_fin: bool = False):
         """``do_warp=False`` skips the final image warp (returns None in
         its slot): at full_res df_resolution every level warps the SAME
         full-res moving image, so the Autoencoder batches all K levels'
         warps into ONE Pallas cascade call after the level loop (K x the
-        rows per kernel launch, one tier branch instead of K)."""
+        rows per kernel launch, one tier branch instead of K).
+
+        ``cf_fin=True`` (requires do_warp=False): the channels-first df
+        pipeline (round 5) — integration runs on the chained CF layout
+        and ``final_df`` is returned in the warp kernels' padded CF
+        layout (B, 3, S0, r8(S1), r128(S2)), zero tile pads, straight
+        from `resize_vecfield_cf`. No transpose or pad staging exists
+        anywhere between the velocity head and the batched image warp.
+        """
         cfg = self.cfg
         l = self.level
         insize = cfg.level_sizes[l]
@@ -145,15 +153,43 @@ class SVFDecoder(nn.Module):
             parent = resize_vecfield(combined_df, vel_resize=0.5, out_size=insize)
             combined = parent + individual_df
 
+        vel_resize_output = 1.0 / (outsize[0] / insize[0])
+
+        if cf_fin:
+            assert not do_warp, "cf_fin implies the batched post-loop warp"
+            from pulpo_tpu.kernels.warp_local import (
+                cf_chain_applicable,
+                cf_interior,
+                cf_pad,
+                integrate_cf_padded,
+            )
+            from pulpo_tpu.ops.warp import cf_interpret, resize_vecfield_cf
+
+            if cf_chain_applicable(insize):
+                vp = cf_pad(combined.astype(jnp.float32))
+                vp = integrate_cf_padded(vp, insize, cfg.nsteps,
+                                         cf_interpret())
+                interior = cf_interior(vp, insize)
+            else:
+                # thin/coarse levels: CL integration (the stencils skip
+                # themselves there anyway), one tiny transpose to CF
+                integ = integrate_svf_auto(
+                    combined.astype(jnp.float32), nsteps=cfg.nsteps,
+                    allow_cf=False)
+                interior = jnp.transpose(integ, (0, 4, 1, 2, 3))
+            final_df = resize_vecfield_cf(interior, vel_resize_output,
+                                          outsize)
+            return individual_df, individual_df, combined, final_df, None
+
         # integration happens in f32 regardless of compute dtype: the
         # 7-step self-warp compounds rounding error. Auto-routed through
         # the Pallas halo stencil on TPU (kernels/warp_local.py) — the
         # decode is sample-batched (never vmapped), so the runtime
         # exactness guard's lax.cond stays a real branch.
         integrated = integrate_svf_auto(
-            combined.astype(jnp.float32), nsteps=cfg.nsteps)
+            combined.astype(jnp.float32), nsteps=cfg.nsteps,
+            allow_cf=not train)
 
-        vel_resize_output = 1.0 / (outsize[0] / insize[0])
         final_df = resize_vecfield(integrated, vel_resize_output, out_size=outsize)
 
         if not do_warp:
@@ -176,7 +212,7 @@ class Autoencoder(nn.Module):
         # (self, down_act, feedback, train) /
         # (self, z, img, combined, train, do_warp)
         enc_cls = nn.remat(PULPoEncoder, static_argnums=(3,)) if cfg.remat else PULPoEncoder
-        dec_cls = nn.remat(SVFDecoder, static_argnums=(4, 5)) if cfg.remat else SVFDecoder
+        dec_cls = nn.remat(SVFDecoder, static_argnums=(4, 5, 6)) if cfg.remat else SVFDecoder
         self.encoders = {
             str(l): enc_cls(cfg, l, self.dtype, self.bn_axis_name, name=f"encoder_{l}")
             for l in range(cfg.latent_levels)
@@ -220,6 +256,7 @@ class Autoencoder(nn.Module):
         train: bool = True,
         n_samples: int = 1,
         sample_keys: jnp.ndarray | None = None,
+        cf_fin: bool = False,
     ) -> tuple[LevelDict, ...]:
         """With ``n_samples=S > 1``, S posterior draws are decoded with
         the samples FOLDED INTO THE BATCH AXIS ((S, B) flattened to S*B,
@@ -254,6 +291,11 @@ class Autoencoder(nn.Module):
         # the loop, which forces the per-level warp order
         batch_warp = (cfg.df_resolution == "full_res"
                       and "transformed" not in cfg.feedback)
+        # channels-first final-df pipeline (round 5): only meaningful
+        # with the post-loop batched warp; final_dfs leave in the warp
+        # kernels' padded CF layout and the image warp consumes them
+        # with zero staging
+        cf_fin = cf_fin and batch_warp
 
         def tile(v):
             """(B, ...) per-pair -> (S*B, ...) sample-major broadcast."""
@@ -369,10 +411,16 @@ class Autoencoder(nn.Module):
                 final_dfs[l],
                 transformed[l],
             ) = self.decoders[str(l)](z, level_x[l], parent_combined, train,
-                                      not batch_warp)
+                                      not batch_warp, cf_fin)
 
         if batch_warp:
-            transformed.update(batched_level_warp(x, final_dfs))
+            if cf_fin:
+                from pulpo_tpu.ops.warp import batched_level_warp_cf
+
+                transformed.update(batched_level_warp_cf(
+                    x, final_dfs, x.shape[1:-1]))
+            else:
+                transformed.update(batched_level_warp(x, final_dfs))
 
         return (
             mus, sigmas, samples, velocity_fields,
@@ -442,9 +490,13 @@ class PULPoModule(nn.Module):
         return self.downpath(x, y, train=train)
 
     def decode(self, x, down_activations, deterministic=False,
-               train: bool = False, n_samples: int = 1, sample_keys=None):
+               train: bool = False, n_samples: int = 1, sample_keys=None,
+               cf_fin: bool = False):
         """Decode (optionally S posterior samples folded into the batch
         axis, see Autoencoder.__call__). Output leaves are (S*B, ...),
-        sample-major — reshape(S, B, ...) recovers the sample axis."""
+        sample-major — reshape(S, B, ...) recovers the sample axis.
+        ``cf_fin=True``: final_dfs leave in the channels-first padded
+        layout (UQ engine routing; see SVFDecoder)."""
         return self.autoencoder(x, down_activations, deterministic, train,
-                                n_samples=n_samples, sample_keys=sample_keys)
+                                n_samples=n_samples, sample_keys=sample_keys,
+                                cf_fin=cf_fin)

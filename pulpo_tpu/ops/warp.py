@@ -193,6 +193,96 @@ def batched_level_warp(moving: jnp.ndarray,
     return {l: warped[i * per:(i + 1) * per] for i, l in enumerate(levels)}
 
 
+# ---------------------------------------------------------------------------
+# Channels-first df pipeline routing (round 5, PERF.md lever 1)
+# ---------------------------------------------------------------------------
+
+
+def cf_pipeline_active() -> bool:
+    """Opt-in routing for the channels-first df pipeline: keep
+    displacement fields in the Pallas kernels' native channels-first
+    tile-padded layout between VecInt / cascade-warp calls so the
+    per-call transpose+pad staging (~10.7 GB/chunk custom-call staging
+    class, PERF.md round-3 HLO accounting) never materializes.
+    PULPO_CF_PIPELINE=1 on TPU; =interpret forces the routing with
+    interpret-mode kernels (CPU tests)."""
+    from pulpo_tpu import routing
+
+    mode = routing.get("PULPO_CF_PIPELINE")
+    if mode == "interpret":
+        return True
+    if mode != "1":
+        return False
+    import jax as _jax
+
+    return (_jax.default_backend() == "tpu"
+            and not routing.get("PULPO_NO_PALLAS_WARP"))
+
+
+def cf_interpret() -> bool:
+    from pulpo_tpu import routing
+
+    return routing.get("PULPO_CF_PIPELINE") == "interpret"
+
+
+def resize_vecfield_cf(
+    x: jnp.ndarray, vel_resize: float, out_size: tuple[int, ...],
+) -> jnp.ndarray:
+    """`resize_vecfield` on an unpadded channels-first field
+    (B, 3, *in_spatial), emitting the warp kernels' df layout
+    (B, 3, S0, r8(S1), r128(S2)) with ZERO tile pads — the pads ride
+    the y/x interpolation matrices as extra zero rows, so the padded
+    output costs nothing beyond the resize itself. Same multiply/
+    interpolate ordering as `resize_vecfield` (network_blocks.py:
+    138-150); per-axis matrices and application order are identical,
+    so interiors bit-match the channels-last path on CPU."""
+    import numpy as np
+
+    from pulpo_tpu.kernels.warp_local import _round_up
+    from pulpo_tpu.ops.resize import _apply_axis_matrix, _linear_matrix
+
+    factor = 1.0 / vel_resize
+    in_sp = x.shape[2:]
+    assert len(in_sp) == 3 and len(out_size) == 3
+    S0, S1, S2 = out_size
+    pads = (S0, _round_up(S1, 8), _round_up(S2, 128))
+
+    if factor > 1:
+        x = x * factor
+    for i in range(3):
+        m = _linear_matrix(in_sp[i], out_size[i], factor)
+        if pads[i] != out_size[i]:
+            m = np.concatenate(
+                [m, np.zeros((pads[i] - out_size[i], in_sp[i]), np.float32)])
+        if m.shape[0] == m.shape[1] and np.array_equal(m, np.eye(m.shape[0],
+                                                                 dtype=m.dtype)):
+            continue
+        x = _apply_axis_matrix(x, m, 2 + i)
+    if factor < 1:
+        x = x * factor
+    return x
+
+
+def batched_level_warp_cf(moving: jnp.ndarray,
+                          dfs_cf: dict[int, jnp.ndarray],
+                          spatial: tuple[int, ...]) -> dict[int, jnp.ndarray]:
+    """`batched_level_warp` with the per-level dfs already in the CF
+    padded layout (doff=0, from `resize_vecfield_cf`): one CF cascade
+    call for all K levels, zero df staging; the C=1 output transpose
+    back to channels-last is a pure reshape."""
+    from pulpo_tpu.kernels.warp_halo import warp_cascaded_cf_image
+
+    levels = sorted(dfs_cf)
+    shapes = {dfs_cf[l].shape for l in levels}
+    assert len(shapes) == 1, f"batched_level_warp_cf needs equal shapes, got {shapes}"
+    stacked = jnp.concatenate([dfs_cf[l] for l in levels], axis=0)
+    warped = warp_cascaded_cf_image(moving.astype(jnp.float32), stacked,
+                                    spatial, doff=0,
+                                    interpret=cf_interpret())
+    per = dfs_cf[levels[0]].shape[0]
+    return {l: warped[i * per:(i + 1) * per] for i, l in enumerate(levels)}
+
+
 def integrate_svf(vec: jnp.ndarray, nsteps: int = 7) -> jnp.ndarray:
     """Scaling-and-squaring integration of a stationary velocity field.
 
@@ -207,19 +297,35 @@ def integrate_svf(vec: jnp.ndarray, nsteps: int = 7) -> jnp.ndarray:
     return vec
 
 
-def integrate_svf_auto(vec: jnp.ndarray, nsteps: int = 7) -> jnp.ndarray:
+def integrate_svf_auto(vec: jnp.ndarray, nsteps: int = 7,
+                       allow_cf: bool = True) -> jnp.ndarray:
     """integrate_svf, routed through the Pallas halo-stencil kernel on
     TPU (kernels/warp_local.py: 1.8-2.3x faster at level-res shapes,
     with a runtime sub-voxel guard + XLA fallback for exactness).
+
+    With the CF pipeline active (`cf_pipeline_active`) and `allow_cf`,
+    the chained channels-first variant runs instead — one transpose+pad
+    in, one transpose out, no XLA layout ops between the squaring
+    steps. `allow_cf=False` keeps hot TRAINING paths on the
+    channels-last chain, whose custom VJPs are the tuned backward
+    (the CF chain's VJP is a correctness-net replay).
 
     Use only in non-vmapped contexts (deterministic predict, mean-SVF
     combine): under vmap the runtime guard's lax.cond lowers to a select
     that runs both branches. Set PULPO_NO_PALLAS_WARP=1 to disable.
     """
-    import os
+    from pulpo_tpu import routing
 
+    if allow_cf and cf_pipeline_active():
+        from pulpo_tpu.kernels.warp_local import (
+            cf_chain_applicable,
+            integrate_svf_cf,
+        )
+
+        if cf_chain_applicable(vec.shape[1:-1]):
+            return integrate_svf_cf(vec, nsteps, cf_interpret())
     if (jax.default_backend() == "tpu"
-            and not os.environ.get("PULPO_NO_PALLAS_WARP")):
+            and not routing.get("PULPO_NO_PALLAS_WARP")):
         from pulpo_tpu.kernels.warp_local import integrate_svf_pallas
 
         return integrate_svf_pallas(vec, nsteps)

@@ -178,10 +178,11 @@ def _combine_moments(a, b, n_a: int, n_b: int):
     return mean, m2
 
 
-def _finalize_std(moments, n: int) -> jnp.ndarray:
-    """Bessel std from streamed (mean, M2), then channel mean."""
+def _finalize_std(moments, n: int, ch_axis: int = -1) -> jnp.ndarray:
+    """Bessel std from streamed (mean, M2), then channel mean.
+    `ch_axis`: channel axis (1 for CF-layout final-df moments)."""
     _, m2 = moments
-    return jnp.mean(jnp.sqrt(jnp.maximum(m2 / (n - 1), 0.0)), axis=-1)
+    return jnp.mean(jnp.sqrt(jnp.maximum(m2 / (n - 1), 0.0)), axis=ch_axis)
 
 
 def _finalize_entropy(moments, n: int) -> jnp.ndarray:
@@ -199,6 +200,21 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
     assert N % chunk == 0, f"N={N} not divisible by chunk={chunk}"
     n_chunks = N // chunk
 
+    # channels-first df pipeline (round 5): per-sample final dfs ride
+    # the warp kernels' padded CF layout through integration, resize,
+    # the batched image warp AND the streamed moments (pads are zeros;
+    # the finalize slices them off) — no per-chunk transpose/pad
+    # staging. Mirrors the Autoencoder's own cf_fin gate.
+    from pulpo_tpu.ops.warp import cf_pipeline_active
+
+    use_cf = (cf_pipeline_active() and cfg.df_resolution == "full_res"
+              and cfg.ndims == 3 and "transformed" not in cfg.feedback)
+
+    def _cf_to_cl(v):
+        """(..., 3, S0, yp, xp) padded CF -> (..., S0, S1, S2, 3)."""
+        _, S1, S2 = cfg.input_size
+        return jnp.moveaxis(v[..., :S1, :S2], -4, -1)
+
     # the encode is per-pair independent (eval BN uses running stats),
     # so large batches can stream through it in pair-chunks: the B=8
     # full-res encode's transient working set alone blew HBM (26.37G /
@@ -207,7 +223,9 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
     # per pair is identical (fusion order inside the mapped body may
     # differ from the monolithic encode: measured worst-leaf diff
     # 5.5e-4 on bf16 outputs — rounding-order noise, not semantics).
-    enc_chunk = int(os.environ.get("PULPO_UQ_ENCODE_CHUNK", "0"))
+    from pulpo_tpu import routing
+
+    enc_chunk = int(routing.get("PULPO_UQ_ENCODE_CHUNK"))
     if enc_chunk and x.shape[0] > enc_chunk and x.shape[0] % enc_chunk == 0:
         g = x.shape[0] // enc_chunk
 
@@ -237,6 +255,7 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
         outs = model.module.apply(
             variables, x, acts, False, False,
             method=PULPoModule.decode, n_samples=chunk, sample_keys=ks,
+            cf_fin=use_cf,
         )
         unfold = lambda d: {
             l: v.reshape(chunk, batch, *v.shape[1:]) for l, v in d.items()}
@@ -256,12 +275,15 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
         }
         retained = {}
         if keep_samples:
-            retained["ind"], retained["comb"], retained["fin"] = ind, comb, fin
+            retained["ind"], retained["comb"] = ind, comb
+            retained["fin"] = (
+                {l: _cf_to_cl(v) for l, v in fin.items()} if use_cf else fin)
             retained["out"] = out
         if lm is not None:
             # same-draw landmark warps: lm is (B, n_lm, nd) in level-0
             # coords; fin[0] is (chunk, B, *out0, nd)
-            retained["lm"] = jax.vmap(lambda d: warp_landmarks(lm, d))(fin[0])
+            fin0 = _cf_to_cl(fin[0]) if use_cf else fin[0]
+            retained["lm"] = jax.vmap(lambda d: warp_landmarks(lm, d))(fin0)
         return stats, out, retained
 
     def merge_stats(carry, s, n_carry):
@@ -306,15 +328,29 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
 
     # mean-SVF combine + integrate + re-warp (streamed mean == avg df)
     avg_dfs = {l: m[0] for l, m in stats["ind"].items()}
-    _, mean_final = combine_dfs(cfg, avg_dfs)
-    # full_res: all levels' final dfs share the output shape — one
-    # batched warp call for all K levels (ops/warp.batched_level_warp)
-    mean_outputs = _warp_levels(x, mean_final)
+    if use_cf:
+        from pulpo_tpu.models.api import combine_dfs_cf
+        from pulpo_tpu.ops.warp import batched_level_warp_cf
+
+        _, mean_final_cf = combine_dfs_cf(cfg, avg_dfs)
+        mean_outputs = batched_level_warp_cf(x, mean_final_cf,
+                                             cfg.input_size)
+        mean_final = {l: _cf_to_cl(v) for l, v in mean_final_cf.items()}
+    else:
+        _, mean_final = combine_dfs(cfg, avg_dfs)
+        # full_res: all levels' final dfs share the output shape — one
+        # batched warp call for all K levels (ops/warp.batched_level_warp)
+        mean_outputs = _warp_levels(x, mean_final)
 
     output_std = {l: _finalize_std(m, N) for l, m in stats["out"].items()}
     output_entropy = {l: _finalize_entropy(m, N) for l, m in stats["out"].items()}
     individual_df_std = {l: _finalize_std(m, N) for l, m in stats["ind"].items()}
-    final_df_std = {l: _finalize_std(m, N) for l, m in stats["fin"].items()}
+    if use_cf:
+        _, S1_, S2_ = cfg.input_size
+        final_df_std = {l: _finalize_std(m, N, ch_axis=-4)[..., :S1_, :S2_]
+                        for l, m in stats["fin"].items()}
+    else:
+        final_df_std = {l: _finalize_std(m, N) for l, m in stats["fin"].items()}
     if mask is not None:
         # mask constant across samples: std(mask*v) == mask*std(v)
         wms = _warp_levels(mask, mean_final)
