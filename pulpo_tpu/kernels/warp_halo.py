@@ -305,9 +305,10 @@ def _halo_compiler_params(taps: int):
     """Scoped-VMEM lift for the big-tap tiers (H >= 4): Mosaic\'s 16M
     scoped-stack default rejected taps >= 10 in round 3 (41.5M measured
     at taps 18); the limit is a compiler default, not physical. Applied
-    ONLY above taps 8 so the flagship H<=3 programs (and their compile
-    cache keys) stay byte-identical."""
-    if taps <= 8:
+    ONLY above taps 8 — or when PULPO_WARP_BZ forces bigger slabs (the
+    round-5 bz re-probe, VERDICT r4 #6) — so the flagship H<=3
+    programs (and their compile cache keys) stay byte-identical."""
+    if taps <= 8 and not _routing_get("PULPO_WARP_BZ"):
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 

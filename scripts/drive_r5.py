@@ -68,9 +68,21 @@ def main():
     print("PREDICT_N8_OK (finite)", flush=True)
 
     # round-5 CF pipeline on real hardware at small scale: same UQ
-    # program with PULPO_CF_PIPELINE=1 must match the default path
+    # program with PULPO_CF_PIPELINE=1 must match the default path.
+    # Own model at (48, 64, 64) so level-0 (24x32x32 = 24.6K voxels)
+    # clears MIN_PALLAS_VOXELS and the layout-A chained squaring
+    # kernel + CF cascade + CF resize ALL actually execute on hardware.
     from pulpo_tpu.uq.predict import _uq_impl
 
+    cfg = PULPoConfig(input_size=(48, 64, 64), total_levels=3,
+                      latent_levels=2, n0=4, dataset="synthetic",
+                      batch_size=2)
+    model = PULPoModel(cfg)
+    variables = model.init(jax.random.key(11))
+    x = jnp.asarray(np.random.default_rng(2).random(
+        (2, *cfg.input_size, 1), dtype=np.float32))
+    y = jnp.asarray(np.random.default_rng(3).random(
+        (2, *cfg.input_size, 1), dtype=np.float32))
     rng = jax.random.key(7)
     base = jax.jit(lambda v, xx, yy: _uq_impl(model, v, xx, yy, 4, rng,
                                               None, 2))(variables, x, y)
