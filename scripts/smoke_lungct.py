@@ -99,11 +99,11 @@ def main():
     print("ROUTING_COARSE_ON", flush=True)
 
     # 2) evaluator tables on the trained run
-    from pulpo_tpu.eval.evaluator import Evaluator
+    from pulpo_tpu.eval.evaluator import Evaluate
     from pulpo_tpu.train.checkpoint import latest_run
 
     rd = latest_run(run_dir)
-    ev = Evaluator()
+    ev = Evaluate(checkpoint_name="latest")
     ev.load_model(rd)
     ev.load_data("lungct", segs=False, lms=True, mask=False, path=H5)
     t0 = time.time()
