@@ -290,7 +290,12 @@ def _halo_bz(S0: int, S1: int, S2: int, taps: int, c: int,
         # budget with the PRECOMPUTED path's live set even when c==1
         # inlines: same (validated) bz choice, strictly less VMEM
         n_w = 4 if taps > INLINE_W_TAPS() else 2 * taps
-        target = 8
+        # target capped at 4: the byte estimate under-predicts Mosaic's
+        # real stack by ~4-5x at flagship planes but by >10x at SMALL
+        # planes — bz=8 at (24,32,32) taps=8 measured 20.33M > 16M on
+        # hardware (round-5 drive). Flagship shapes choose bz<=2 either
+        # way, so their programs/cache keys are unchanged.
+        target = 4
         while target > 1:
             est = 4 * (c * (target + taps - 1) * s1p * s2p        # mbuf
                        + 3 * target * s1d * s2d                   # dbuf
@@ -1569,6 +1574,13 @@ def _warp_halo_pallas_cf(mp: jnp.ndarray, dcf: jnp.ndarray, halo: int, *,
     kern = functools.partial(_warp_halo_kernel, bz=bz, halo=halo,
                              spatial=spatial, c=c, b_mov=b_mov,
                              moff=moff, doff=doff)
+    # CF kernels are round-5 programs with no legacy cache key to
+    # preserve: always lift Mosaic's 16M scoped-stack default (first
+    # hardware compile measured 20.33M at a 4-row H=3 small shape);
+    # keep the cap moderate — the scheduler WILL use whatever stack
+    # budget it is given (PERF.md pos_head 100M-cap lesson)
+    cparams = (_halo_compiler_params(taps)
+               or pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024))
     return pl.pallas_call(
         kern,
         grid=(b_df, S0 // bz),
@@ -1584,7 +1596,7 @@ def _warp_halo_pallas_cf(mp: jnp.ndarray, dcf: jnp.ndarray, halo: int, *,
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
-        compiler_params=_halo_compiler_params(taps),
+        compiler_params=cparams,
         interpret=interpret,
     )(mp, dcf)
 

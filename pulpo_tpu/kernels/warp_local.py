@@ -609,6 +609,10 @@ def _squaring_step_cf_pallas(vp: jnp.ndarray, spatial: tuple[int, int, int],
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # round-5 program: lift the 16M scoped-stack default outright
+        # (moderate cap; see _warp_halo_pallas_cf note)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(vp)
 
