@@ -211,7 +211,7 @@ def cf_pipeline_active() -> bool:
     mode = routing.get("PULPO_CF_PIPELINE")
     if mode == "interpret":
         return True
-    if mode != "1":
+    if mode not in ("1", "integ"):
         return False
     import jax as _jax
 
@@ -223,6 +223,14 @@ def cf_interpret() -> bool:
     from pulpo_tpu import routing
 
     return routing.get("PULPO_CF_PIPELINE") == "interpret"
+
+
+def cf_fin_active() -> bool:
+    """Full CF mode (final-df layout + batched CF warp + CF moments);
+    =integ keeps only the chained CF integration (A/B bisect arm)."""
+    from pulpo_tpu import routing
+
+    return routing.get("PULPO_CF_PIPELINE") in ("1", "interpret")
 
 
 def resize_vecfield_cf(

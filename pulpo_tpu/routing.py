@@ -50,7 +50,7 @@ KNOBS: dict[str, tuple[str, str]] = {
     # SVF integration (kernels/warp_local.py)
     "PULPO_SQUARING_HALO": ("2,3", "halo ladder for past-sub-voxel squaring steps"),
     # round-5 channels-first df pipeline
-    "PULPO_CF_PIPELINE": ("0", "channels-first df pipeline: 0/1/interpret"),
+    "PULPO_CF_PIPELINE": ("0", "channels-first df pipeline: 0/1/integ/interpret"),
     # conv path (ops/conv.py, models/blocks.py)
     "PULPO_NO_CONVPAD": ("", "disable the 96->128 conv channel padding"),
     "PULPO_NO_TAPGRAD": ("", "disable the tap-sum conv backward (XLA conv-transpose vjp)"),

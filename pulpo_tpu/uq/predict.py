@@ -205,9 +205,10 @@ def _uq_impl(model: PULPoModel, variables, x, y, N: int, rng, mask=None,
     # the batched image warp AND the streamed moments (pads are zeros;
     # the finalize slices them off) — no per-chunk transpose/pad
     # staging. Mirrors the Autoencoder's own cf_fin gate.
-    from pulpo_tpu.ops.warp import cf_pipeline_active
+    from pulpo_tpu.ops.warp import cf_fin_active, cf_pipeline_active
 
-    use_cf = (cf_pipeline_active() and cfg.df_resolution == "full_res"
+    use_cf = (cf_pipeline_active() and cf_fin_active()
+              and cfg.df_resolution == "full_res"
               and cfg.ndims == 3 and "transformed" not in cfg.feedback)
 
     def _cf_to_cl(v):
