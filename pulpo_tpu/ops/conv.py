@@ -99,39 +99,56 @@ def _tapgrad_bwd(res, g):
     k_rev = jnp.flip(k, (0, 1, 2)).swapaxes(-1, -2)  # (K,K,K,Co,Ci)
     dx = _conv_xla(g, k_rev)
 
-    # dL/dk[t] = x_pad[t:t+S]^T @ g with x padded by p per axis: K^3
-    # shifted matmuls in a fori_loop. The dk accumulator is tiny
-    # (K^3, Ci, Co), so the loop's HBM cost is the per-tap re-read of
-    # the shifted x window + g (~24 GB at full res B=1) — still far
-    # cheaper than XLA's conv-backward-weights emitter, whose
-    # tap-expanded relayout of the saved activations is the round-3
-    # OOM class. Operands stay in their native (usually bf16) dtype —
-    # the MXU accumulates in f32 via preferred_element_type.
-    gr = g.reshape(n, co)
-    xp = jnp.pad(x, ((0, 0),) + ((p, p),) * 3 + ((0, 0),))
-    unroll = int(routing.get("PULPO_TAPGRAD_UNROLL"))
-    if K**3 % unroll != 0:
-        unroll = 1
+    # dL/dk[t] = x_pad[t:t+S]^T @ g — ONE conv with permuted dimension
+    # numbers: ci rides the conv's batch dim, the model batch b is the
+    # contraction (input-feature) dim, and g is the K^3-output "filter"
+    # (the classic weight-gradient conv). Round-5 probe
+    # (probe_conv_bwd2, full-res B=1 v5e): 0.123 s vs the 27-tap
+    # fori_loop's 0.310 s at 32->32 (2.5x — the loop re-read the
+    # shifted x window + g every tap, ~24 GB), 0.065 vs 0.121 at 2->32;
+    # XLA picks a sane emitter for this spelling (it is NOT the
+    # conv-backward-weights path whose tap-expanded activation relayout
+    # caused the round-3 OOM — no 4x-padded temps observed).
+    # PULPO_TAPGRAD_DK=loop keeps the tap loop as a fallback.
+    if routing.get("PULPO_TAPGRAD_DK") == "loop":
+        gr = g.reshape(n, co)
+        xp = jnp.pad(x, ((0, 0),) + ((p, p),) * 3 + ((0, 0),))
+        unroll = int(routing.get("PULPO_TAPGRAD_UNROLL"))
+        if K**3 % unroll != 0:
+            unroll = 1
 
-    def body(tg, dk_acc):
-        for j in range(unroll):
-            t = tg * unroll + j
-            tz = t // (K * K)
-            ty = (t // K) % K
-            tx = t % K
-            sl_x = jax.lax.dynamic_slice(
-                xp, (0, tz, ty, tx, 0), (b, *spatial, ci)).reshape(n, ci)
-            dk_t = jax.lax.dot_general(
-                sl_x, gr, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dk_acc = jax.lax.dynamic_update_index_in_dim(dk_acc, dk_t, t, 0)
-        return dk_acc
+        def body(tg, dk_acc):
+            for j in range(unroll):
+                t = tg * unroll + j
+                tz = t // (K * K)
+                ty = (t // K) % K
+                tx = t % K
+                sl_x = jax.lax.dynamic_slice(
+                    xp, (0, tz, ty, tx, 0), (b, *spatial, ci)).reshape(n, ci)
+                dk_t = jax.lax.dot_general(
+                    sl_x, gr, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dk_acc = jax.lax.dynamic_update_index_in_dim(
+                    dk_acc, dk_t, t, 0)
+            return dk_acc
 
-    dk = jax.lax.fori_loop(
-        0, K**3 // unroll, body, jnp.zeros((K**3, ci, co), jnp.float32))
+        dk = jax.lax.fori_loop(
+            0, K**3 // unroll, body,
+            jnp.zeros((K**3, ci, co), jnp.float32)).reshape(k.shape)
+    else:
+        xp = jnp.pad(x, ((0, 0),) + ((p, p),) * 3 + ((0, 0),))
+        dn = jax.lax.ConvDimensionNumbers(
+            lhs_spec=(4, 0, 1, 2, 3),   # xp: batch=ci, feature=b
+            rhs_spec=(4, 0, 1, 2, 3),   # g:  out_feat=co, in_feat=b
+            out_spec=(0, 4, 1, 2, 3),   # out: (ci, K, K, K, co)
+        )
+        dk = jax.lax.conv_general_dilated(
+            xp, g, window_strides=(1, 1, 1), padding="VALID",
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
+        dk = jnp.transpose(dk, (1, 2, 3, 0, 4))  # (K, K, K, ci, co)
 
     dx = dx.astype(x.dtype)
-    dk = dk.reshape(k.shape).astype(k.dtype)
+    dk = dk.astype(k.dtype)
     return dx, dk
 
 

@@ -55,7 +55,8 @@ KNOBS: dict[str, tuple[str, str]] = {
     "PULPO_NO_CONVPAD": ("", "disable the 96->128 conv channel padding"),
     "PULPO_NO_TAPGRAD": ("", "disable the tap-sum conv backward (XLA conv-transpose vjp)"),
     "PULPO_CONV_TAPGRAD_MIN_VOXELS": ("4194304", "volume threshold for the tap-sum backward"),
-    "PULPO_TAPGRAD_UNROLL": ("1", "taps per dk tap-loop body (OOMs >1 at full res)"),
+    "PULPO_TAPGRAD_UNROLL": ("1", "taps per dk tap-loop body (only with PULPO_TAPGRAD_DK=loop)"),
+    "PULPO_TAPGRAD_DK": ("", "''=one-conv dk (2.5x, round 5); 'loop'=27-tap fallback"),
     "PULPO_CONV_NARROW": ("0", "attic MXU narrow-conv kernel (measured -2.9% composed)"),
     # fused heads (kernels/{vel_head,pos_head,conv_chain}.py)
     "PULPO_FUSED_VELHEAD": ("", "''=auto (bf16 on), '1' force, '0' off"),
