@@ -1574,13 +1574,16 @@ def _warp_halo_pallas_cf(mp: jnp.ndarray, dcf: jnp.ndarray, halo: int, *,
     kern = functools.partial(_warp_halo_kernel, bz=bz, halo=halo,
                              spatial=spatial, c=c, b_mov=b_mov,
                              moff=moff, doff=doff)
-    # CF kernels are round-5 programs with no legacy cache key to
-    # preserve: always lift Mosaic's 16M scoped-stack default (first
-    # hardware compile measured 20.33M at a 4-row H=3 small shape);
-    # keep the cap moderate — the scheduler WILL use whatever stack
-    # budget it is given (PERF.md pos_head 100M-cap lesson)
-    cparams = (_halo_compiler_params(taps)
-               or pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024))
+    # the 20.33M small-shape stack OOM was the CL bz=8 bug (fixed by
+    # the _halo_bz clamp), not a CF need — default to the compiler's
+    # 16M like the CL twins (the scheduler WILL use whatever stack
+    # budget it is given: pos_head 100M-cap lesson, and arm A of the
+    # round-5 CF A/B ran -1.8% with a blanket 64M). PULPO_CF_VMEM_MB
+    # lifts it if a shape ever needs it.
+    cparams = _halo_compiler_params(taps)
+    mb = int(_routing_get("PULPO_CF_VMEM_MB") or "0")
+    if cparams is None and mb:
+        cparams = pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
     return pl.pallas_call(
         kern,
         grid=(b_df, S0 // bz),

@@ -588,6 +588,18 @@ def _step_kernel_3d_cf(hbm_ref, out_hbm, vbuf, obuf, sem_in, sem_out, *,
     dma_o.wait()
 
 
+def _cf_compiler_params():
+    """Optional scoped-VMEM lift for the CF kernels (PULPO_CF_VMEM_MB;
+    0 = the compiler's 16M default, matching the CL twins — see the
+    warp_halo note)."""
+    from pulpo_tpu import routing
+
+    mb = int(routing.get("PULPO_CF_VMEM_MB") or "0")
+    if mb:
+        return pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
+    return None
+
+
 def _squaring_step_cf_pallas(vp: jnp.ndarray, spatial: tuple[int, int, int],
                              interpret: bool = False) -> jnp.ndarray:
     """Layout A -> layout A squaring step (sub-voxel regime)."""
@@ -609,10 +621,7 @@ def _squaring_step_cf_pallas(vp: jnp.ndarray, spatial: tuple[int, int, int],
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
-        # round-5 program: lift the 16M scoped-stack default outright
-        # (moderate cap; see _warp_halo_pallas_cf note)
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=_cf_compiler_params(),
         interpret=interpret,
     )(vp)
 

@@ -136,15 +136,49 @@ def _tapgrad_bwd(res, g):
             0, K**3 // unroll, body,
             jnp.zeros((K**3, ci, co), jnp.float32)).reshape(k.shape)
     else:
+        # z-chunked: the weight-grad conv's emitter re-lays-out its lhs
+        # (the SAVED activation) as a 4x-padded tap-expanded temp —
+        # 5.10G for the whole full-res volume, which OOMed the composed
+        # train program (same class as the round-3 conv-backward OOM;
+        # the standalone probe fit). Summing per-z-chunk convs is exact
+        # (the contraction is linear over any z partition) and shrinks
+        # the relayout temp by the chunk count.
         xp = jnp.pad(x, ((0, 0),) + ((p, p),) * 3 + ((0, 0),))
         dn = jax.lax.ConvDimensionNumbers(
             lhs_spec=(4, 0, 1, 2, 3),   # xp: batch=ci, feature=b
             rhs_spec=(4, 0, 1, 2, 3),   # g:  out_feat=co, in_feat=b
             out_spec=(0, 4, 1, 2, 3),   # out: (ci, K, K, K, co)
         )
-        dk = jax.lax.conv_general_dilated(
-            xp, g, window_strides=(1, 1, 1), padding="VALID",
-            dimension_numbers=dn, preferred_element_type=jnp.float32)
+        S0 = spatial[0]
+        want = int(routing.get("PULPO_TAPGRAD_DK_CHUNKS"))
+        nchunks = 1
+        for c_ in range(min(want, S0), 0, -1):
+            if S0 % c_ == 0:
+                nchunks = c_
+                break
+        if nchunks == 1:
+            dk = jax.lax.conv_general_dilated(
+                xp, g, window_strides=(1, 1, 1), padding="VALID",
+                dimension_numbers=dn, preferred_element_type=jnp.float32)
+        else:
+            per = S0 // nchunks
+
+            def body(i, acc):
+                xw = jax.lax.dynamic_slice(
+                    xp, (0, i * per, 0, 0, 0),
+                    (b, per + 2 * p, spatial[1] + 2 * p,
+                     spatial[2] + 2 * p, ci))
+                gw = jax.lax.dynamic_slice(
+                    g, (0, i * per, 0, 0, 0),
+                    (b, per, spatial[1], spatial[2], co))
+                return acc + jax.lax.conv_general_dilated(
+                    xw, gw, window_strides=(1, 1, 1), padding="VALID",
+                    dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+
+            dk = jax.lax.fori_loop(
+                0, nchunks, body,
+                jnp.zeros((ci, K, K, K, co), jnp.float32))
         dk = jnp.transpose(dk, (1, 2, 3, 0, 4))  # (K, K, K, ci, co)
 
     dx = dx.astype(x.dtype)

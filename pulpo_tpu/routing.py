@@ -51,12 +51,14 @@ KNOBS: dict[str, tuple[str, str]] = {
     "PULPO_SQUARING_HALO": ("2,3", "halo ladder for past-sub-voxel squaring steps"),
     # round-5 channels-first df pipeline
     "PULPO_CF_PIPELINE": ("0", "channels-first df pipeline: 0/1/integ/interpret"),
+    "PULPO_CF_VMEM_MB": ("0", "scoped-VMEM lift for CF kernels (0 = compiler default 16M)"),
     # conv path (ops/conv.py, models/blocks.py)
     "PULPO_NO_CONVPAD": ("", "disable the 96->128 conv channel padding"),
     "PULPO_NO_TAPGRAD": ("", "disable the tap-sum conv backward (XLA conv-transpose vjp)"),
     "PULPO_CONV_TAPGRAD_MIN_VOXELS": ("4194304", "volume threshold for the tap-sum backward"),
     "PULPO_TAPGRAD_UNROLL": ("1", "taps per dk tap-loop body (only with PULPO_TAPGRAD_DK=loop)"),
-    "PULPO_TAPGRAD_DK": ("", "''=one-conv dk (2.5x, round 5); 'loop'=27-tap fallback"),
+    "PULPO_TAPGRAD_DK": ("", "''=chunked-conv dk (2.5x, round 5); 'loop'=27-tap fallback"),
+    "PULPO_TAPGRAD_DK_CHUNKS": ("8", "z chunks for the dk conv (bounds the emitter's relayout temp)"),
     "PULPO_CONV_NARROW": ("0", "attic MXU narrow-conv kernel (measured -2.9% composed)"),
     # fused heads (kernels/{vel_head,pos_head,conv_chain}.py)
     "PULPO_FUSED_VELHEAD": ("", "''=auto (bf16 on), '1' force, '0' off"),
