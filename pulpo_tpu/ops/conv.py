@@ -161,24 +161,22 @@ def _tapgrad_bwd(res, g):
                 xp, g, window_strides=(1, 1, 1), padding="VALID",
                 dimension_numbers=dn, preferred_element_type=jnp.float32)
         else:
+            # Python-unrolled (NOT a fori_loop: a conv inside a loop
+            # body wedged the relay's whole-program compile >30 min,
+            # round 5). Static slices chain through the adds, so XLA
+            # schedules the chunk convs sequentially and one relayout
+            # temp dominates at a time.
             per = S0 // nchunks
-
-            def body(i, acc):
-                xw = jax.lax.dynamic_slice(
-                    xp, (0, i * per, 0, 0, 0),
-                    (b, per + 2 * p, spatial[1] + 2 * p,
-                     spatial[2] + 2 * p, ci))
-                gw = jax.lax.dynamic_slice(
-                    g, (0, i * per, 0, 0, 0),
-                    (b, per, spatial[1], spatial[2], co))
-                return acc + jax.lax.conv_general_dilated(
+            dk = jnp.zeros((ci, K, K, K, co), jnp.float32)
+            for i_ in range(nchunks):
+                xw = jax.lax.slice_in_dim(xp, i_ * per,
+                                          i_ * per + per + 2 * p, axis=1)
+                gw = jax.lax.slice_in_dim(g, i_ * per, (i_ + 1) * per,
+                                          axis=1)
+                dk = dk + jax.lax.conv_general_dilated(
                     xw, gw, window_strides=(1, 1, 1), padding="VALID",
                     dimension_numbers=dn,
                     preferred_element_type=jnp.float32)
-
-            dk = jax.lax.fori_loop(
-                0, nchunks, body,
-                jnp.zeros((ci, K, K, K, co), jnp.float32))
         dk = jnp.transpose(dk, (1, 2, 3, 0, 4))  # (K, K, K, ci, co)
 
     dx = dx.astype(x.dtype)
