@@ -106,11 +106,14 @@ def _tapgrad_bwd(res, g):
     # (probe_conv_bwd2, full-res B=1 v5e): 0.123 s vs the 27-tap
     # fori_loop's 0.310 s at 32->32 (2.5x — the loop re-read the
     # shifted x window + g every tap, ~24 GB), 0.065 vs 0.121 at 2->32;
-    # XLA picks a sane emitter for this spelling (it is NOT the
-    # conv-backward-weights path whose tap-expanded activation relayout
-    # caused the round-3 OOM — no 4x-padded temps observed).
-    # PULPO_TAPGRAD_DK=loop keeps the tap loop as a fallback.
-    if routing.get("PULPO_TAPGRAD_DK") == "loop":
+    # COMPOSED VERDICT (round 5): the conv spelling is 2.5x isolated
+    # but unusable inside the full-res train program on a 16G part —
+    # XLA hoists the operands' 4x-padded tap-expanded relayout to the
+    # FULL arrays (1.7G per operand; z-chunked slicing does not
+    # prevent the hoist) and the step OOMs by ~0.9G. Default is the
+    # tap LOOP; PULPO_TAPGRAD_DK=conv opts into the chunked-conv
+    # spelling on bigger-HBM parts.
+    if routing.get("PULPO_TAPGRAD_DK") != "conv":
         gr = g.reshape(n, co)
         xp = jnp.pad(x, ((0, 0),) + ((p, p),) * 3 + ((0, 0),))
         unroll = int(routing.get("PULPO_TAPGRAD_UNROLL"))

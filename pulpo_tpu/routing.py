@@ -57,7 +57,7 @@ KNOBS: dict[str, tuple[str, str]] = {
     "PULPO_NO_TAPGRAD": ("", "disable the tap-sum conv backward (XLA conv-transpose vjp)"),
     "PULPO_CONV_TAPGRAD_MIN_VOXELS": ("4194304", "volume threshold for the tap-sum backward"),
     "PULPO_TAPGRAD_UNROLL": ("1", "taps per dk tap-loop body (only with PULPO_TAPGRAD_DK=loop)"),
-    "PULPO_TAPGRAD_DK": ("", "''=chunked-conv dk (2.5x, round 5); 'loop'=27-tap fallback"),
+    "PULPO_TAPGRAD_DK": ("", "''=27-tap loop; 'conv'=chunked-conv dk (2.5x isolated, OOMs composed on 16G)"),
     "PULPO_TAPGRAD_DK_CHUNKS": ("8", "z chunks for the dk conv (bounds the emitter's relayout temp)"),
     "PULPO_CONV_NARROW": ("0", "attic MXU narrow-conv kernel (measured -2.9% composed)"),
     # fused heads (kernels/{vel_head,pos_head,conv_chain}.py)
