@@ -1,4 +1,15 @@
-"""Pallas TPU kernel: a fused plain ConvSequence (conv+BN+LReLU chain).
+"""ATTIC (round 5): unproven-by-design -> retired from the hot tree.
+
+Hardware-validated exact (~1 ulp bf16) but never composed-A/B'd, and
+its target (the encode ConvSequences) is ~1.7% of the UQ call. Every
+same-class custom-call fusion lost composed (6x by round 5: narrow
+conv -2.9%, pos_head -6.0%, coarse-tier compile-in -12.9%, CF full
+-1.8%, hoisting -11%); the expected value of one more 25-min relay
+A/B on a 1.7% target did not clear the bar (VERDICT r4 #7: "expectation
+is attic; what matters is ending the unproven state"). Kept importable
+with its tests; PULPO_FUSED_CONVSEQ routing now points here.
+
+Pallas TPU kernel: a fused plain ConvSequence (conv+BN+LReLU chain).
 
 Generalizes the whole-head fusion pattern of kernels/pos_head.py to any
 unbranched ConvSequence (models/blocks.py: `depth` chained ConvUnits,

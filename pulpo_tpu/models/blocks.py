@@ -213,7 +213,7 @@ class ConvSequence(nn.Module):
         if act_half:
             return ConvUnit(self.features, self.dtype, self.bn_axis_name)(
                 x, train, x2_features=x2_features, act_half=True)
-        # fused plain-chain Pallas kernel (kernels/conv_chain.py): the
+        # fused plain-chain Pallas kernel (attic/conv_chain.py): the
         # whole eval ConvSequence in one MXU call — targets the full-res
         # narrow-input down_block_0 whose XLA convs run at 1.6-9.7 TF/s
         # (PERF.md). Eval only (BN running stats), plain calls only;
@@ -221,7 +221,7 @@ class ConvSequence(nn.Module):
         if (x2 is None and y2 is None and not train
                 and not self.is_initializing()
                 and "batch_stats" in self.variables):
-            from pulpo_tpu.kernels.conv_chain import conv_chain, conv_chain_mode
+            from pulpo_tpu.attic.conv_chain import conv_chain, conv_chain_mode
 
             mode = conv_chain_mode(x, self.features, self.depth)
             if mode:

@@ -60,11 +60,11 @@ KNOBS: dict[str, tuple[str, str]] = {
     "PULPO_TAPGRAD_DK": ("", "''=27-tap loop; 'conv'=chunked-conv dk (2.5x isolated, OOMs composed on 16G)"),
     "PULPO_TAPGRAD_DK_CHUNKS": ("8", "z chunks for the dk conv (bounds the emitter's relayout temp)"),
     "PULPO_CONV_NARROW": ("0", "attic MXU narrow-conv kernel (measured -2.9% composed)"),
-    # fused heads (kernels/{vel_head,pos_head,conv_chain}.py)
+    # fused heads (kernels/{vel_head,pos_head}.py; conv_chain in attic/)
     "PULPO_FUSED_VELHEAD": ("", "''=auto (bf16 on), '1' force, '0' off"),
     "PULPO_FUSED_POSTHEAD": ("0", "fused posterior head (measured -6.0% composed; opt-in)"),
     "PULPO_POSTHEAD_MIN_VOL": ("32768", "min volume for the fused posterior head"),
-    "PULPO_FUSED_CONVSEQ": ("0", "fused encode ConvSequence chain kernel (opt-in)"),
+    "PULPO_FUSED_CONVSEQ": ("0", "attic fused encode ConvSequence chain (never composed-A/B'd)"),
     # UQ engine (uq/predict.py)
     "PULPO_UQ_ENCODE_CHUNK": ("0", "stream the encode in pair-chunks of this size (B>=6)"),
 }

@@ -917,7 +917,7 @@ class TestPosHeadFused:
 
 
 class TestConvChainFused:
-    """conv_chain (fused plain ConvSequence kernel, kernels/
+    """conv_chain (fused plain ConvSequence kernel, attic/
     conv_chain.py): forward must match the flax/XLA eval composition at
     every supported depth and at both WP legs (128 / 256); VJP is the
     XLA composition vjp; ConvSequence routing
@@ -949,7 +949,7 @@ class TestConvChainFused:
         import jax
         import numpy as np
 
-        from pulpo_tpu.kernels.conv_chain import (
+        from pulpo_tpu.attic.conv_chain import (
             conv_chain_fused,
             conv_chain_xla,
         )
@@ -969,7 +969,7 @@ class TestConvChainFused:
         import jax.numpy as jnp
         import numpy as np
 
-        from pulpo_tpu.kernels.conv_chain import (
+        from pulpo_tpu.attic.conv_chain import (
             conv_chain_fused,
             conv_chain_xla,
         )
@@ -988,7 +988,7 @@ class TestConvChainFused:
         import jax
         import numpy as np
 
-        from pulpo_tpu.kernels.conv_chain import conv_chain, conv_chain_xla
+        from pulpo_tpu.attic.conv_chain import conv_chain, conv_chain_xla
 
         key = jax.random.key(53)
         st = self._stages(key, (2, 8, 8))
